@@ -1,0 +1,44 @@
+"""Lidar residual blocks — the L2 solver layer (reference: lidarFactor.hpp).
+
+All residuals are functions of a 7-vector pose (see vloam_tpu.geometry) and
+per-correspondence constant data, vmapped over the correspondence axis by the
+callers.  Definitions match the reference exactly:
+
+* edge (point-to-line), 3-dim:  r = (lp - a) x (lp - b) / |a - b|
+  (lidarFactor.hpp:41-46), lp = R(q) p + t.
+* plane (point-to-plane via unit normal), 1-dim:  r = n . lp + d
+  (lidarFactor.hpp:130; the 3-point LO form at :95 reduces to this with
+  n = normalize((j-l) x (j-m)), d = -n . j).
+
+The undistortion interpolation factor s is identically 1 for KITTI
+(DISTORTION=false, laser_odometry.h:90), so the slerp collapses away.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+
+
+def edge_residual(pose: jax.Array, p: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """(B,3) point-to-line residuals.  p,a,b: (B,3)."""
+    lp = geo.pose_apply(pose, p)
+    nu = jnp.cross(lp - a, lp - b)
+    de = jnp.linalg.norm(a - b, axis=-1, keepdims=True)
+    return nu / jnp.maximum(de, 1e-10)
+
+
+def plane_residual(pose: jax.Array, p: jax.Array, n: jax.Array, d: jax.Array) -> jax.Array:
+    """(B,1) point-to-plane residuals.  n: (B,3) unit normals, d: (B,)."""
+    lp = geo.pose_apply(pose, p)
+    return (jnp.sum(n * lp, axis=-1) + d)[..., None]
+
+
+def plane_from_three_points(j: jax.Array, l: jax.Array, m: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(n, d) from the LO 3-point construction (lidarFactor.hpp:73-74)."""
+    n = jnp.cross(j - l, j - m)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-10)
+    d = -jnp.sum(n * j, axis=-1)
+    return n, d

@@ -1,0 +1,79 @@
+"""Fixed-shape voxel-grid downsampling (PCL VoxelGrid equivalent).
+
+The reference leans on ``pcl::VoxelGrid`` in four places: per-ring less-flat
+reduction (scan_registration.cpp:496-504), per-frame corner/surf stack
+reduction (laser_mapping.cpp:491-500) and per-cube map re-filtering
+(laser_mapping.cpp:793-808).  PCL's semantics: partition space into cubic
+leaves, replace all points in a leaf with their centroid (all channels
+averaged, including intensity).
+
+TPU formulation: no hash maps, no dynamic sizes.  We quantise to integer
+voxel coordinates, pack them into one int32 key (bounded grids — the inputs
+are sensor-frame clouds or single 50 m cubes), sort once, and reduce
+segments with ``segment_sum``.  Output is a fixed-capacity buffer + mask.
+An optional secondary key keeps groups separate (used for "per-ring"
+downsampling, which PCL gets by being called once per ring).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def voxel_downsample(
+    points: jax.Array,      # (N, D) — first 3 channels are xyz; the rest averaged along for the ride
+    mask: jax.Array,        # (N,) bool
+    leaf: float,
+    cap: int,
+    group_key: jax.Array | None = None,  # (N,) int32 — points in different groups never merge
+    max_grid: int = 1024,   # per-axis voxel-grid bound; (max coord span)/leaf must fit
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (out_points (cap, D), out_mask (cap,)).
+
+    Centroid semantics match pcl::VoxelGrid.  If the number of occupied
+    voxels exceeds ``cap`` the surplus voxels (highest keys) are dropped.
+    """
+    n = points.shape[0]
+    xyz = points[..., :3]
+
+    # Quantise relative to the masked minimum so the int grid is small.
+    big = jnp.float32(1e30)
+    p_min = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    ijk = jnp.floor((xyz - p_min) / leaf).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, max_grid - 1)
+    key = (ijk[:, 0] + max_grid * ijk[:, 1] + max_grid * max_grid * ijk[:, 2]).astype(jnp.int32)
+    key = jnp.where(mask, key, INT_MAX)
+
+    if group_key is None:
+        group_key = jnp.zeros((n,), jnp.int32)
+    group_key = jnp.where(mask, group_key, INT_MAX)
+
+    # Sort by (group, voxel) — two stable passes.
+    order = jnp.argsort(key, stable=True)
+    order = jnp.take(order, jnp.argsort(jnp.take(group_key, order), stable=True))
+    key_s = jnp.take(key, order)
+    grp_s = jnp.take(group_key, order)
+    pts_s = jnp.take(points, order, axis=0)
+    msk_s = jnp.take(mask, order)
+
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])]
+    )
+    new_seg = new_seg & msk_s
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1          # (N,) — -1..S-1; invalid tail shares last id
+    seg_id = jnp.where(msk_s, seg_id, n - 1)                     # dump invalid into a scrap segment
+
+    sums = jax.ops.segment_sum(jnp.where(msk_s[:, None], pts_s, 0.0), seg_id, num_segments=n)
+    cnts = jax.ops.segment_sum(msk_s.astype(jnp.float32), seg_id, num_segments=n)
+    total = jnp.sum(new_seg.astype(jnp.int32))
+
+    means = sums / jnp.maximum(cnts, 1.0)[:, None]
+    out = means[:cap]
+    out_mask = (jnp.arange(cap) < jnp.minimum(total, cap)) & (cnts[:cap] > 0)
+    # Guard the scrap segment: if it landed inside [0, cap) it is already excluded by out_mask
+    # only when total <= its index; recompute strictly:
+    out_mask = jnp.arange(cap) < jnp.minimum(total, cap)
+    return jnp.where(out_mask[:, None], out, 0.0), out_mask
