@@ -85,7 +85,8 @@ def simulate_scan(
 
     t_box = _ray_aabb(origins, dirs_world, boxes)
     dz = dirs_world[:, 2]
-    t_ground = np.where(dz < -1e-6, (ground_z - pose_t[2]) / dz, np.inf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = np.where(dz < -1e-6, (ground_z - pose_t[2]) / np.where(dz == 0, -1.0, dz), np.inf)
     t = np.minimum(t_box, t_ground)
     hit = t < max_range
 

@@ -71,9 +71,8 @@ def voxel_downsample(
     total = jnp.sum(new_seg.astype(jnp.int32))
 
     means = sums / jnp.maximum(cnts, 1.0)[:, None]
+    if cap > n:
+        means = jnp.pad(means, ((0, cap - n), (0, 0)))
     out = means[:cap]
-    out_mask = (jnp.arange(cap) < jnp.minimum(total, cap)) & (cnts[:cap] > 0)
-    # Guard the scrap segment: if it landed inside [0, cap) it is already excluded by out_mask
-    # only when total <= its index; recompute strictly:
     out_mask = jnp.arange(cap) < jnp.minimum(total, cap)
     return jnp.where(out_mask[:, None], out, 0.0), out_mask
