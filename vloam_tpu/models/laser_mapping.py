@@ -1,0 +1,278 @@
+"""Scan-to-map lidar odometry (MO) — reference: laser_mapping.cpp:212-814.
+
+The reference keeps a 21x21x11 grid of unbounded point-cloud cubes and
+physically shuffles 4851 shared_ptrs through six while-loops whenever the
+robot nears a grid border (laser_mapping.cpp:252-444).  The TPU re-design
+makes recentering free: cube slots are addressed **block-cyclically**
+(slot = world_cube_coord mod grid_dims) and each slot remembers which world
+cube it currently stores.  Moving on simply lets new world cubes lazily
+evict stale slots — no data movement, no pointer shuffles, and the cube
+arrays are flat fixed-shape tensors that shard across a device mesh along
+the slot axis (see vloam_tpu.parallel).
+
+Per frame: voxel-downsample the input features (laser_mapping.cpp:491-500),
+gather the 5x5x3-cube submap by masked slot lookup (:448-485), associate
+with blocked MXU 5-NN + closed-form 3x3 eigen/solve line & plane fits
+(:545-699), run batched GN (2 outer x 4 inner, Huber 0.1, :526,712), update
+the wmap_wodom correction (:147-151), then scatter the registered features
+into their cubes and re-voxel-filter the submap window (:741-808).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+from vloam_tpu.config import VloamConfig
+from vloam_tpu.ops import lidar_factors
+from vloam_tpu.ops.gauss_newton import solve_pose_gn
+from vloam_tpu.ops.knn import knn
+from vloam_tpu.ops.linalg3 import eigh3x3, solve3x3
+from vloam_tpu.ops.voxel import voxel_downsample
+
+
+class MapState(NamedTuple):
+    corner_pts: jax.Array    # (n_cubes, corner_cap, 4)
+    corner_cnt: jax.Array    # (n_cubes,) int32
+    surf_pts: jax.Array      # (n_cubes, surf_cap, 4)
+    surf_cnt: jax.Array      # (n_cubes,)
+    cube_coord: jax.Array    # (n_cubes, 3) int32 — world cube coord stored in each slot
+    pose_map: jax.Array      # (7,) world_T_curr after mapping
+    wmap_wodom: jax.Array    # (7,) map-world_T_odom-world correction
+    initialized: jax.Array   # () bool
+
+
+def n_cubes(cfg: VloamConfig) -> int:
+    mc = cfg.mapping
+    return mc.grid_w * mc.grid_h * mc.grid_d
+
+
+def init_map_state(cfg: VloamConfig) -> MapState:
+    mc = cfg.mapping
+    nc = n_cubes(cfg)
+    return MapState(
+        corner_pts=jnp.zeros((nc, mc.corner_cube_cap, 4), jnp.float32),
+        corner_cnt=jnp.zeros((nc,), jnp.int32),
+        surf_pts=jnp.zeros((nc, mc.surf_cube_cap, 4), jnp.float32),
+        surf_cnt=jnp.zeros((nc,), jnp.int32),
+        cube_coord=jnp.full((nc, 3), jnp.iinfo(jnp.int32).min, jnp.int32),
+        pose_map=geo.pose_identity(),
+        wmap_wodom=geo.pose_identity(),
+        initialized=jnp.array(False),
+    )
+
+
+def cube_coord_of(points: jax.Array, cube_size: float) -> jax.Array:
+    """World point -> integer cube coordinate (laser_mapping.cpp:747-756
+    including the negative-rounding correction — this is plain floor)."""
+    return jnp.floor((points + cube_size / 2.0) / cube_size).astype(jnp.int32)
+
+
+def coord_to_slot(coord: jax.Array, cfg: VloamConfig) -> jax.Array:
+    """Block-cyclic slot index for a world cube coordinate."""
+    mc = cfg.mapping
+    dims = jnp.array([mc.grid_w, mc.grid_h, mc.grid_d], jnp.int32)
+    m = jnp.remainder(coord, dims)  # python-style mod: result in [0, dims)
+    return m[..., 0] + mc.grid_w * m[..., 1] + mc.grid_w * mc.grid_h * m[..., 2]
+
+
+def _submap_coords(center_coord: jax.Array, cfg: VloamConfig) -> jax.Array:
+    """(75, 3) world cube coords of the 5x5x3 neighbourhood."""
+    mc = cfg.mapping
+    dx = jnp.arange(-mc.submap_rx, mc.submap_rx + 1)
+    dy = jnp.arange(-mc.submap_rx, mc.submap_rx + 1)
+    dz = jnp.arange(-mc.submap_rz, mc.submap_rz + 1)
+    off = jnp.stack(jnp.meshgrid(dx, dy, dz, indexing="ij"), axis=-1).reshape(-1, 3)
+    return center_coord[None, :] + off.astype(jnp.int32)
+
+
+def _gather_submap(state: MapState, coords: jax.Array, cfg: VloamConfig):
+    """Gather the neighbourhood cubes' points with validity masks."""
+    slots = coord_to_slot(coords, cfg)                      # (75,)
+    fresh = jnp.all(jnp.take(state.cube_coord, slots, axis=0) == coords, axis=-1)  # (75,)
+
+    def grab(pts, cnt, cap):
+        sub = jnp.take(pts, slots, axis=0)                  # (75, cap, 4)
+        col = jnp.arange(cap)[None, :]
+        m = fresh[:, None] & (col < jnp.take(cnt, slots)[:, None])
+        return sub.reshape(-1, 4), m.reshape(-1)
+
+    c_pts, c_mask = grab(state.corner_pts, state.corner_cnt, cfg.mapping.corner_cube_cap)
+    s_pts, s_mask = grab(state.surf_pts, state.surf_cnt, cfg.mapping.surf_cube_cap)
+    return (c_pts, c_mask), (s_pts, s_mask), slots, fresh
+
+
+def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+    """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604)."""
+    mc = cfg.mapping
+    q = geo.pose_apply(pose, stack[:, :3])
+    d2, idx = knn(q, cand[:, :3], cand_mask, mc.n_neighbors)
+    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
+    center = jnp.mean(nbr, axis=1)
+    zm = nbr - center[:, None, :]
+    cov = jnp.einsum("mki,mkj->mij", zm, zm)
+    vals, vecs = eigh3x3(cov)
+    direction = vecs[..., :, 2]                              # largest-eigval column
+    is_line = vals[..., 2] > mc.eigen_ratio * vals[..., 1]
+    valid = stack_mask & (d2[:, -1] < mc.neighbor_dist_sq) & is_line
+    a = center + mc.line_span * direction
+    b = center - mc.line_span * direction
+    return stack[:, :3], a, b, valid
+
+
+def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+    """5-NN + least-squares plane fit A n = -1 (laser_mapping.cpp:626-699)."""
+    mc = cfg.mapping
+    q = geo.pose_apply(pose, stack[:, :3])
+    d2, idx = knn(q, cand[:, :3], cand_mask, mc.n_neighbors)
+    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
+    ata = jnp.einsum("mki,mkj->mij", nbr, nbr)
+    atb = -jnp.sum(nbr, axis=1)
+    nrm = solve3x3(ata, atb)                                 # (M, 3)
+    inv_len = 1.0 / jnp.maximum(jnp.linalg.norm(nrm, axis=-1), 1e-10)
+    d = inv_len                                              # negative_OA_dot_norm
+    n_unit = nrm * inv_len[:, None]
+    fit = jnp.abs(jnp.einsum("mki,mi->mk", nbr, n_unit) + d[:, None])
+    plane_ok = jnp.all(fit <= mc.plane_fit_tol, axis=-1)
+    valid = stack_mask & (d2[:, -1] < mc.neighbor_dist_sq) & plane_ok
+    return stack[:, :3], n_unit, d, valid
+
+
+def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg):
+    """Append world-frame points into their cube slots (block-cyclic).
+
+    Stale slots (holding an evicted world cube) are reset before appending.
+    Returns (pts, cnt, cube_coord, touched_slot_mask).
+    """
+    nc = state_pts.shape[0]
+    coord = cube_coord_of(pts_w[:, :3], cfg.mapping.cube_size)
+    slot = coord_to_slot(coord, cfg)
+    slot = jnp.where(mask, slot, nc)                         # invalid -> scrap slot
+
+    # Reset stale slots touched by this insertion.
+    stored = jnp.take(cube_coord, jnp.minimum(slot, nc - 1), axis=0)
+    stale = jnp.any(stored != coord, axis=-1) & mask
+    touched = jnp.zeros((nc + 1,), bool).at[slot].set(mask, mode="drop")[:nc]
+    cnt = jnp.where(
+        jnp.zeros((nc + 1,), bool).at[slot].set(stale, mode="drop")[:nc], 0, state_cnt
+    )
+    new_coord = jnp.full((nc + 1, 3), jnp.iinfo(jnp.int32).min, jnp.int32).at[slot].set(
+        coord, mode="drop"
+    )[:nc]
+    cube_coord = jnp.where(touched[:, None], new_coord, cube_coord)
+
+    # Rank of each point within its slot (stable sort by slot).
+    n = pts_w.shape[0]
+    order = jnp.argsort(slot, stable=True)
+    slot_s = jnp.take(slot, order)
+    pts_s = jnp.take(pts_w, order, axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), slot_s[1:] != slot_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+
+    dest_row = jnp.take(cnt, jnp.minimum(slot_s, nc - 1)) + rank
+    ok = (slot_s < nc) & (dest_row < cap)
+    flat = jnp.where(ok, slot_s * cap + dest_row, nc * cap)
+    pts_flat = state_pts.reshape(-1, 4)
+    pts_flat = jnp.concatenate([pts_flat, jnp.zeros((1, 4), pts_flat.dtype)]).at[flat].set(
+        jnp.where(ok[:, None], pts_s, 0.0), mode="drop"
+    )[:-1]
+    added = jax.ops.segment_sum(ok.astype(jnp.int32), jnp.minimum(slot_s, nc), num_segments=nc + 1)[:nc]
+    return pts_flat.reshape(nc, cap, 4), cnt + added, cube_coord, touched
+
+
+def _refilter_cubes(pts, cnt, slots, fresh, leaf, cap, cfg):
+    """Re-voxel-downsample the submap-window cubes (laser_mapping.cpp:793-808)."""
+    sub = jnp.take(pts, slots, axis=0)                       # (75, cap, 4)
+    col = jnp.arange(cap)[None, :]
+    m = col < jnp.take(cnt, slots)[:, None]
+
+    def one(p, mm):
+        return voxel_downsample(p, mm, leaf, cap, max_grid=256)
+
+    newp, newm = jax.vmap(one)(sub, m)
+    newc = jnp.sum(newm, axis=1).astype(jnp.int32)
+    # scatter back (slots unique inside the window; duplicates impossible mod-grid
+    # because the window is smaller than the grid in every axis)
+    pts = pts.at[slots].set(jnp.where(newm[..., None], newp, 0.0))
+    cnt = cnt.at[slots].set(newc)
+    return pts, cnt
+
+
+def mapping_step(
+    state: MapState,
+    corner_in: jax.Array, corner_in_mask: jax.Array,   # LO less-sharp cloud (xyzw)
+    surf_in: jax.Array, surf_in_mask: jax.Array,       # LO less-flat cloud (xyzw)
+    pose_wodom: jax.Array,                             # LO world pose (7,)
+    cfg: VloamConfig,
+) -> tuple[MapState, jax.Array]:
+    """One mapping frame.  Returns (new_state, world pose after mapping)."""
+    mc = cfg.mapping
+
+    # Initial guess: wmap_wodom o wodom_curr (laser_mapping.cpp:204-208).
+    pose0 = geo.pose_compose(state.wmap_wodom, pose_wodom)
+
+    # Downsample input features (laser_mapping.cpp:491-500).
+    corner_stack, cs_mask = voxel_downsample(
+        corner_in, corner_in_mask, mc.line_resolution, mc.corner_stack_cap, max_grid=1024
+    )
+    surf_stack, ss_mask = voxel_downsample(
+        surf_in, surf_in_mask, mc.plane_resolution, mc.surf_stack_cap, max_grid=512
+    )
+
+    center = cube_coord_of(geo.pose_t(pose0)[None, :], mc.cube_size)[0]
+    coords = _submap_coords(center, cfg)
+    (c_pts, c_mask), (s_pts, s_mask), slots, fresh = _gather_submap(state, coords, cfg)
+
+    enough = (jnp.sum(c_mask) > mc.min_map_corner) & (jnp.sum(s_mask) > mc.min_map_surf)
+
+    def optimize(pose):
+        for _ in range(mc.outer_iters):
+            p_e, a_e, b_e, v_e = _corner_correspondences(
+                pose, corner_stack, cs_mask, c_pts, c_mask, cfg
+            )
+            p_s, n_s, d_s, v_s = _surf_correspondences(
+                pose, surf_stack, ss_mask, s_pts, s_mask, cfg
+            )
+
+            def residuals(p):
+                return (
+                    (lidar_factors.edge_residual(p, p_e, a_e, b_e), v_e),
+                    (lidar_factors.plane_residual(p, p_s, n_s, d_s), v_s),
+                )
+
+            pose = solve_pose_gn(residuals, pose, mc.inner_iters, mc.huber_delta, mc.lm_lambda)
+        return pose
+
+    pose_w = jax.lax.cond(enough, optimize, lambda p: p, pose0)
+
+    # transformUpdate (laser_mapping.cpp:147-151).
+    wmap_wodom = geo.pose_compose(pose_w, geo.pose_inverse(pose_wodom))
+
+    # Insert registered features into cubes (laser_mapping.cpp:741-788).
+    corner_w = corner_stack.at[:, :3].set(geo.pose_apply(pose_w, corner_stack[:, :3]))
+    surf_w = surf_stack.at[:, :3].set(geo.pose_apply(pose_w, surf_stack[:, :3]))
+    c_arr, c_cnt, cube_coord, _ = _scatter_insert(
+        corner_w, cs_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
+        mc.corner_cube_cap, cfg,
+    )
+    s_arr, s_cnt, cube_coord, _ = _scatter_insert(
+        surf_w, ss_mask, state.surf_pts, state.surf_cnt, cube_coord,
+        mc.surf_cube_cap, cfg,
+    )
+
+    # Re-filter the submap window (laser_mapping.cpp:793-808).
+    c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, slots, fresh, mc.line_resolution,
+                                   mc.corner_cube_cap, cfg)
+    s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, slots, fresh, mc.plane_resolution,
+                                   mc.surf_cube_cap, cfg)
+
+    return MapState(
+        corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,
+        cube_coord=cube_coord, pose_map=pose_w, wmap_wodom=wmap_wodom,
+        initialized=jnp.array(True),
+    ), pose_w

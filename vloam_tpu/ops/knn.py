@@ -47,7 +47,11 @@ def knn(
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 
-    assert n % block == 0, f"candidate count {n} must be a multiple of block {block}"
+    if n % block != 0:
+        pad = block - n % block
+        cand = jnp.concatenate([cand, jnp.zeros((pad, 3), cand.dtype)])
+        cand_mask = jnp.concatenate([cand_mask, jnp.zeros((pad,), bool)])
+        n += pad
     n_blocks = n // block
     cand_b = cand.reshape(n_blocks, block, 3)
     mask_b = cand_mask.reshape(n_blocks, block)
