@@ -110,12 +110,17 @@ class VisualConfig:
     klt_iters: int = 10
     klt_eps: float = 0.03
     klt_min_eig: float = 1e-4
+    klt_fb_check: bool = True         # forward-backward track validation (ours; ref has none)
+    klt_fb_threshold: float = 1.0     # max forward-backward return error (px)
     # depth buckets (point_cloud_util.cpp:34,256-487)
     downsample_grid: int = 5
     query_radius: int = 2
     min_depth_neighbors: int = 10
     depth_knn: int = 3
     min_projection_depth: float = 0.1
+    depth_spread_gate: float = 1.0    # reject queries whose 3-NN depths spread wider (m);
+                                      # the reference sketches this gate but leaves it
+                                      # disabled (point_cloud_util.cpp:449-460); <=0 disables
     # solver (visual_odometry.cpp:304-509)
     remove_vo_outlier: float = 100.0  # pixel displacement gate
     reset_vo_to_identity: bool = False

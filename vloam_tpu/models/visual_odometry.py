@@ -1,0 +1,128 @@
+"""Depth-enhanced monocular visual odometry (DEMO-style) — reference:
+visual_odometry.cpp + image_util.cpp + point_cloud_util.cpp.
+
+Per frame: Shi-Tomasi corners on the current image; pyramidal LK tracks the
+previous frame's corners into the current frame; the previous frame's lidar
+depth buckets answer per-feature depth queries; matches with depth become
+3D-2D reprojection residuals, the rest 2D-2D epipolar residuals; one batched
+GN solve (Huber 0.1) yields cam0_curr_T_cam0_last
+(visual_odometry.cpp:304-509).
+
+The double-buffered OpenCV pipeline of the reference becomes a VoState
+pytree threaded through a jit-once step.  Keypoints are detected on the
+*previous* frame and tracked forward — equivalent to the reference's KLT
+configuration up to which frame seeds the detector (it feeds current-frame
+corners backwards through LK; forward tracking is the standard formulation
+and tracks the same corners for KITTI-scale motion).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+from vloam_tpu.config import VloamConfig
+from vloam_tpu.ops import image_ops, vo_factors
+from vloam_tpu.ops.depth_map import DepthBuckets, build_buckets, bucket_shape, project_cloud, query_depth
+from vloam_tpu.ops.gauss_newton import solve_pose_gn
+
+
+class VoState(NamedTuple):
+    prev_img: jax.Array         # (H, W)
+    prev_pts: jax.Array         # (max_features, 2) corners detected on prev frame
+    prev_pts_mask: jax.Array    # (max_features,)
+    prev_buckets: DepthBuckets  # lidar depth map of prev frame
+    count: jax.Array            # () int32 frame counter
+
+
+def init_vo_state(cfg: VloamConfig) -> VoState:
+    vc = cfg.visual
+    bw, bh = bucket_shape(vc)
+    z = jnp.zeros((bw, bh), jnp.float32)
+    return VoState(
+        prev_img=jnp.zeros((vc.img_height, vc.img_width), jnp.float32),
+        prev_pts=jnp.zeros((vc.max_features, 2), jnp.float32),
+        prev_pts_mask=jnp.zeros((vc.max_features,), bool),
+        prev_buckets=DepthBuckets(z, z, z, z),
+        count=jnp.array(0, jnp.int32),
+    )
+
+
+def _unproject(K_inv: jax.Array, uv: jax.Array, depth: jax.Array) -> jax.Array:
+    """K^-1 [u d, v d, d] — the rectified-camera 3D point (visual_odometry.cpp:403-415)."""
+    uvd = jnp.stack([uv[..., 0] * depth, uv[..., 1] * depth, depth], axis=-1)
+    return uvd @ K_inv.T
+
+
+def _ray(K_inv: jax.Array, uv: jax.Array) -> jax.Array:
+    """Normalised image ray (xbar, ybar) = (K^-1 [u v 1]) / z."""
+    uv1 = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
+    X = uv1 @ K_inv.T
+    return X[..., :2] / jnp.maximum(X[..., 2:3], 1e-9)
+
+
+def vo_step(
+    state: VoState,
+    img: jax.Array,            # (H, W) float32 current frame
+    cloud: jax.Array,          # (N, 3) velodyne points (current frame)
+    cloud_mask: jax.Array,
+    proj: jax.Array,           # (3, 4) P_rect0 @ rect0_T_cam @ cam_T_velo
+    K: jax.Array,              # (3, 3) = P_rect0[:, :3]
+    cfg: VloamConfig,
+    lo_prior: jax.Array | None = None,   # (7,) cam0_curr_T_cam0_prev seed
+) -> tuple[VoState, jax.Array]:
+    """One VO frame.  Returns (new_state, cam0_curr_T_cam0_last pose)."""
+    vc = cfg.visual
+
+    # --- frontend -----------------------------------------------------------
+    pts, pts_mask, resp = image_ops.detect_corners(img, vc)
+    if vc.keypoint_nms:
+        pts_mask = image_ops.bucket_nms(pts, pts_mask, resp, vc)
+
+    track = image_ops.lk_track_fb if vc.klt_fb_check else image_ops.lk_track
+    curr_pts, track_ok = track(state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc)
+    track_ok = track_ok & (state.count > 0)
+
+    # outlier gate on pixel displacement (visual_odometry.cpp:363-368)
+    if vc.remove_vo_outlier > 0:
+        disp2 = jnp.sum((curr_pts - state.prev_pts) ** 2, axis=-1)
+        track_ok = track_ok & (disp2 <= vc.remove_vo_outlier ** 2)
+
+    # --- depth association (prev frame's buckets at prev pixel) -------------
+    depth0 = query_depth(state.prev_buckets, state.prev_pts, vc)
+
+    # --- residuals ----------------------------------------------------------
+    K_inv = jnp.linalg.inv(K)
+    has_depth = track_ok & (depth0 > 0)
+    no_depth = track_ok & (depth0 <= 0)
+
+    X0 = _unproject(K_inv, state.prev_pts, jnp.maximum(depth0, 1e-3))
+    xb0 = _ray(K_inv, state.prev_pts)
+    xb1 = _ray(K_inv, curr_pts)
+
+    pose0 = geo.pose_identity() if (lo_prior is None or vc.reset_vo_to_identity) else lo_prior
+
+    def residuals(p):
+        return (
+            (vo_factors.reproj_32_residual(p, X0, xb1), has_depth),
+            (vo_factors.epipolar_22_residual(p, xb0, xb1), no_depth),
+        )
+
+    solved = solve_pose_gn(residuals, pose0, vc.max_iters, vc.huber_delta, vc.lm_lambda)
+    enough = jnp.sum(track_ok) >= 10
+    pose = jnp.where((state.count > 0) & enough, solved, pose0)
+
+    # --- roll state ---------------------------------------------------------
+    uvz, ok = project_cloud(cloud, cloud_mask, proj, vc)
+    buckets = build_buckets(uvz, ok, vc)
+    new_state = VoState(
+        prev_img=img,
+        prev_pts=pts,
+        prev_pts_mask=pts_mask,
+        prev_buckets=buckets,
+        count=state.count + 1,
+    )
+    return new_state, pose

@@ -1,0 +1,232 @@
+"""2D feature frontend — reference: image_util.cpp (Shi-Tomasi + pyramidal LK).
+
+TPU formulation:
+  * Shi-Tomasi response is the min eigenvalue of the 5x5 structure tensor —
+    separable box/Sobel convolutions that XLA fuses and runs on the MXU/VPU
+    (reference: cv::goodFeaturesToTrack, image_util.cpp:16-58).
+  * Corner selection = local-max suppression (the minDistance=7.5 greedy of
+    OpenCV becomes a 7x7 window max) + quality gate + global top-k into a
+    fixed (max_corners,) buffer.
+  * Bucketed NMS replicates the reference's own keyPointsNMS
+    (image_util.cpp:202-261): 100x100 px buckets, top responses per bucket.
+  * Pyramidal Lucas-Kanade: 15x15 window, 3 levels, 10 iterations — a
+    vmapped gather/solve loop (reference: cv::calcOpticalFlowPyrLK with
+    winSize 15x15, maxLevel 2, 10 iters/0.03 eps, image_util.cpp:526,562).
+
+All images are (H, W) float32 in [0, 255].  Keypoints are (N, 2) float32
+``(x, y)`` pixel coords with a validity mask — fixed shapes throughout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu.config import VisualConfig
+
+
+def _sep_conv(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
+    """Separable 2D convolution (SAME padding) via two 1D convs."""
+    img4 = img[None, None]
+    out = jax.lax.conv_general_dilated(
+        img4, ky[None, None, :, None], (1, 1), "SAME")
+    out = jax.lax.conv_general_dilated(
+        out, kx[None, None, None, :], (1, 1), "SAME")
+    return out[0, 0]
+
+
+def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32) / 4.0
+    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32) / 2.0
+    ix = _sep_conv(img, diff, smooth)
+    iy = _sep_conv(img, smooth, diff)
+    return ix, iy
+
+
+def shi_tomasi_response(img: jax.Array, block_size: int = 5) -> jax.Array:
+    """Min-eigenvalue corner response with a block_size box window."""
+    ix, iy = sobel_gradients(img)
+    box = jnp.ones((block_size,), jnp.float32) / block_size
+    sxx = _sep_conv(ix * ix, box, box)
+    syy = _sep_conv(iy * iy, box, box)
+    sxy = _sep_conv(ix * iy, box, box)
+    tr = sxx + syy
+    det_part = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
+    return 0.5 * (tr - det_part)
+
+
+def detect_corners(
+    img: jax.Array, cfg: VisualConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shi-Tomasi corners -> fixed-size (max_corners, 2) xy + mask + response."""
+    resp = shi_tomasi_response(img, cfg.block_size)
+    H, W = resp.shape
+
+    # local-max suppression over a (2r+1)^2 window, r from minDistance
+    r = max(int(cfg.min_distance // 2), 1)
+    win = 2 * r + 1
+    local_max = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME"
+    )
+    is_peak = (resp >= local_max) & (resp >= cfg.quality_level * jnp.max(resp))
+
+    # keep a safety border (gradients/window invalid at edges)
+    b = cfg.block_size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    is_peak = is_peak & (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+
+    score = jnp.where(is_peak, resp, -jnp.inf).reshape(-1)
+    top, idx = jax.lax.top_k(score, cfg.max_corners)
+    pts = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
+    mask = top > -jnp.inf
+    return pts, mask, top
+
+
+def bucket_nms(
+    pts: jax.Array, mask: jax.Array, resp: jax.Array, cfg: VisualConfig
+) -> jax.Array:
+    """Reference keyPointsNMS (image_util.cpp:202-261): cap keypoints per
+    100x100 bucket at max_total/(n_buckets).  Returns an updated mask."""
+    bx = (pts[:, 0] / cfg.nms_bucket_width).astype(jnp.int32)
+    by = (pts[:, 1] / cfg.nms_bucket_height).astype(jnp.int32)
+    nbx = -(-cfg.img_width // cfg.nms_bucket_width)
+    nby = -(-cfg.img_height // cfg.nms_bucket_height)
+    cap = max(cfg.nms_max_total // (nbx * nby), 1)
+    bucket = bx * nby + by
+    bucket = jnp.where(mask, bucket, nbx * nby)
+    # rank within bucket by response: sort by (bucket, -resp)
+    order = jnp.argsort(-jnp.where(mask, resp, -jnp.inf), stable=True)
+    order = jnp.take(order, jnp.argsort(jnp.take(bucket, order), stable=True))
+    b_s = jnp.take(bucket, order)
+    idx = jnp.arange(pts.shape[0], dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - start
+    keep_sorted = rank < cap
+    keep = jnp.zeros_like(mask).at[order].set(keep_sorted)
+    return mask & keep
+
+
+def gaussian_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """[level0 (full res), ..., levelN] with 5-tap Gaussian + 2x decimation."""
+    g = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+    pyr = [img]
+    for _ in range(levels):
+        blurred = _sep_conv(pyr[-1], g, g)
+        pyr.append(blurred[::2, ::2])
+    return pyr
+
+
+def _bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Sample img (H, W) at xy (..., 2) float coords with clamping."""
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return (
+        i00 * (1 - fx) * (1 - fy)
+        + i01 * fx * (1 - fy)
+        + i10 * (1 - fx) * fy
+        + i11 * fx * fy
+    )
+
+
+def lk_track(
+    prev_img: jax.Array,
+    curr_img: jax.Array,
+    pts: jax.Array,          # (N, 2) positions in prev image
+    mask: jax.Array,         # (N,)
+    cfg: VisualConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Pyramidal Lucas-Kanade: returns (curr_pts (N, 2), status (N,)).
+
+    Matches cv::calcOpticalFlowPyrLK semantics: per level, iterate
+    d = G^-1 b with G the template-window structure tensor; status drops
+    points whose window leaves the image or whose G is degenerate.
+    """
+    r = cfg.klt_window // 2
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
+                     jnp.arange(-r, r + 1, dtype=jnp.float32), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)                                       # (w2, 2)
+
+    prev_pyr = gaussian_pyramid(prev_img, cfg.klt_levels)
+    curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
+
+    n = pts.shape[0]
+    flow = jnp.zeros((n, 2), jnp.float32)                  # at coarsest level
+    status = mask
+
+    for lvl in range(cfg.klt_levels, -1, -1):
+        scale = 2.0 ** lvl
+        p_lvl = pts / scale                                # (N, 2)
+        pimg, cimg = prev_pyr[lvl], curr_pyr[lvl]
+        gx, gy = sobel_gradients(pimg)
+        H, W = pimg.shape
+
+        win_xy = p_lvl[:, None, :] + offs[None, :, :]      # (N, w2, 2)
+        T = _bilinear(pimg, win_xy)
+        Ix = _bilinear(gx, win_xy)
+        Iy = _bilinear(gy, win_xy)
+        gxx = jnp.sum(Ix * Ix, axis=1)
+        gxy = jnp.sum(Ix * Iy, axis=1)
+        gyy = jnp.sum(Iy * Iy, axis=1)
+        det = gxx * gyy - gxy * gxy
+        w2 = offs.shape[0]
+        min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / w2
+        ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
+        inv00 = gyy / jnp.where(det > 1e-6, det, 1.0)
+        inv01 = -gxy / jnp.where(det > 1e-6, det, 1.0)
+        inv11 = gxx / jnp.where(det > 1e-6, det, 1.0)
+
+        def iter_body(_, fl):
+            cw = (p_lvl + fl)[:, None, :] + offs[None, :, :]
+            diff = _bilinear(cimg, cw) - T
+            bx = jnp.sum(diff * Ix, axis=1)
+            by = jnp.sum(diff * Iy, axis=1)
+            dx = -(inv00 * bx + inv01 * by)
+            dy = -(inv01 * bx + inv11 * by)
+            step = jnp.stack([dx, dy], axis=-1)
+            return fl + jnp.where(ok_g[:, None], step, 0.0)
+
+        flow = jax.lax.fori_loop(0, cfg.klt_iters, iter_body, flow)
+
+        tracked = p_lvl + flow
+        inside = (
+            (tracked[:, 0] >= r) & (tracked[:, 0] < W - r - 1)
+            & (tracked[:, 1] >= r) & (tracked[:, 1] < H - r - 1)
+        )
+        status = status & inside & ok_g
+        if lvl > 0:
+            flow = flow * 2.0                              # upsample to next level
+
+    return pts + flow, status
+
+
+def lk_track_fb(
+    prev_img: jax.Array,
+    curr_img: jax.Array,
+    pts: jax.Array,
+    mask: jax.Array,
+    cfg: VisualConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """LK with a forward-backward consistency check.
+
+    The reference relies on the remove_VO_outlier displacement gate
+    (visual_odometry.cpp:363-368) to drop bad tracks; tracking each point
+    back from its forward estimate and requiring a sub-pixel return is a
+    strictly stronger filter that costs one extra (fully parallel) LK pass.
+    """
+    curr_pts, st = lk_track(prev_img, curr_img, pts, mask, cfg)
+    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, cfg)
+    fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
+    return curr_pts, st & st_b & (fb_err < cfg.klt_fb_threshold**2)
