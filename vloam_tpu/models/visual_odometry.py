@@ -82,17 +82,30 @@ def vo_step(
     if vc.keypoint_nms:
         pts_mask = image_ops.bucket_nms(pts, pts_mask, resp, vc)
 
+    # --- depth association (prev frame's buckets at prev pixel) -------------
+    depth0 = query_depth(state.prev_buckets, state.prev_pts, vc)
+
+    K_pred = K
+    pose_pred = geo.pose_identity() if lo_prior is None else lo_prior
+    # Seed KLT with the motion-prior flow: project each prev feature's 3D
+    # point (bucket depth, or a nominal mid-range depth) through the prior.
+    d_nom = jnp.where(depth0 > 0, depth0, 15.0)
+    X0_pred = _unproject(jnp.linalg.inv(K_pred), state.prev_pts, d_nom)
+    X1_pred = geo.pose_apply(pose_pred, X0_pred)
+    uv_pred = X1_pred @ K_pred.T
+    uv_pred = uv_pred[:, :2] / jnp.maximum(uv_pred[:, 2:3], 1e-3)
+    init_flow = jnp.clip(uv_pred - state.prev_pts, -120.0, 120.0)
+
     track = image_ops.lk_track_fb if vc.klt_fb_check else image_ops.lk_track
-    curr_pts, track_ok = track(state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc)
+    curr_pts, track_ok = track(
+        state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc, init_flow
+    )
     track_ok = track_ok & (state.count > 0)
 
     # outlier gate on pixel displacement (visual_odometry.cpp:363-368)
     if vc.remove_vo_outlier > 0:
         disp2 = jnp.sum((curr_pts - state.prev_pts) ** 2, axis=-1)
         track_ok = track_ok & (disp2 <= vc.remove_vo_outlier ** 2)
-
-    # --- depth association (prev frame's buckets at prev pixel) -------------
-    depth0 = query_depth(state.prev_buckets, state.prev_pts, vc)
 
     # --- residuals ----------------------------------------------------------
     K_inv = jnp.linalg.inv(K)

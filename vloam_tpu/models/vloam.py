@@ -1,0 +1,112 @@
+"""The full coupled VLOAM pipeline — reference: vloam_main_node.cpp:134-202.
+
+One jitted step reproduces the reference callback ordering:
+  image -> VO -> frame-graph conversion -> scan registration -> LO (seeded by
+  VO when coupled) -> mapping -> world poses for VO/LO/MO export.
+
+``detach_vo_lo`` selects the reference's (D)/(C) modes
+(vloam_main_node.cpp:256-257 + laser_odometry.cpp:237-250): when detached,
+LO warm-starts from its previous solution and VO is a passenger; when
+coupled, VO's frame-to-frame motion (converted to the velodyne frame) seeds
+LO, and the LO result seeds the next frame's VO.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+from vloam_tpu.config import VloamConfig
+from vloam_tpu.models import frame_graph as fg
+from vloam_tpu.models.laser_mapping import MapState, init_map_state, mapping_step
+from vloam_tpu.models.lidar_odometry import LoState, init_lo_state, lo_step
+from vloam_tpu.models.visual_odometry import VoState, init_vo_state, vo_step
+from vloam_tpu.ops.scan_registration import extract_features
+
+
+class VloamState(NamedTuple):
+    vo: VoState
+    lo: LoState
+    mp: MapState
+    world_VOT_base: jax.Array            # (7,) accumulated VO world pose
+    cam0_curr_LOT_cam0_prev: jax.Array   # (7,) LO f2f in cam0 frame (VO seed)
+    cam0_init_T_cam0_start: jax.Array    # (7,) rebase anchor captured at frame 0
+    count: jax.Array                     # () int32
+
+
+class VloamOutputs(NamedTuple):
+    vo_pose: jax.Array    # (7,) cam0_start_T_cam0_curr (VO trajectory row)
+    lo_pose: jax.Array    # (7,) LO trajectory row
+    mo_pose: jax.Array    # (7,) MO trajectory row
+    world_vo: jax.Array   # (7,) world_T_base from VO
+    world_lo: jax.Array   # (7,) world_T_base from LO
+    world_mo: jax.Array   # (7,) world_T_base from mapping
+
+
+def init_vloam_state(cfg: VloamConfig) -> VloamState:
+    return VloamState(
+        vo=init_vo_state(cfg),
+        lo=init_lo_state(cfg),
+        mp=init_map_state(cfg),
+        world_VOT_base=geo.pose_identity(),
+        cam0_curr_LOT_cam0_prev=geo.pose_identity(),
+        cam0_init_T_cam0_start=geo.pose_identity(),
+        count=jnp.array(0, jnp.int32),
+    )
+
+
+def vloam_step(
+    state: VloamState,
+    img: jax.Array,           # (H, W) float32
+    cloud: jax.Array,         # (N, 3) velodyne frame
+    cloud_mask: jax.Array,    # (N,)
+    ext: fg.Extrinsics,
+    cfg: VloamConfig,
+) -> tuple[VloamState, VloamOutputs]:
+    # ---- Sec 1+3+4: visual odometry (vloam_main_node.cpp:147-174) ----------
+    proj = ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo
+    K = ext.P_rect0[:, :3]
+    vo_state, cam0_curr_T_cam0_last = vo_step(
+        state.vo, img, cloud, cloud_mask, proj, K, cfg,
+        lo_prior=state.cam0_curr_LOT_cam0_prev,
+    )
+
+    # frame-graph conversion + world accumulation (vloam_main_node.cpp:176-181)
+    velo_last_VOT_velo_curr = fg.vo_to_velo(cam0_curr_T_cam0_last, ext)
+    world_VOT_base = fg.accumulate_world(state.world_VOT_base, velo_last_VOT_velo_curr)
+
+    # ---- Sec 5: scan registration + LO + mapping (:186-190) ----------------
+    feats = extract_features(cloud, cloud_mask, cfg.scan)
+
+    vo_prior = None if cfg.detach_vo_lo else velo_last_VOT_velo_curr
+    lo_state, lo_delta, world_LOT_base = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)
+
+    cam0_curr_LOT_cam0_prev = fg.lo_delta_to_cam0(lo_delta, ext)
+
+    mp_state, world_MOT_base = mapping_step(
+        state.mp, feats.less_sharp, feats.less_sharp_mask,
+        feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
+    )
+
+    # ---- Sec 6: rebased trajectory rows (vloam_tf.cpp:84-160) --------------
+    anchor = jnp.where(
+        state.count == 0, fg.cam0_init_pose(world_VOT_base, ext), state.cam0_init_T_cam0_start
+    )
+    vo_row = fg.world_to_cam0_start(world_VOT_base, anchor, ext)
+    lo_row = fg.world_to_cam0_start(world_LOT_base, anchor, ext)
+    mo_row = fg.world_to_cam0_start(world_MOT_base, anchor, ext)
+
+    new_state = VloamState(
+        vo=vo_state, lo=lo_state, mp=mp_state,
+        world_VOT_base=world_VOT_base,
+        cam0_curr_LOT_cam0_prev=cam0_curr_LOT_cam0_prev,
+        cam0_init_T_cam0_start=anchor,
+        count=state.count + 1,
+    )
+    return new_state, VloamOutputs(
+        vo_pose=vo_row, lo_pose=lo_row, mo_pose=mo_row,
+        world_vo=world_VOT_base, world_lo=world_LOT_base, world_mo=world_MOT_base,
+    )

@@ -145,12 +145,15 @@ def lk_track(
     pts: jax.Array,          # (N, 2) positions in prev image
     mask: jax.Array,         # (N,)
     cfg: VisualConfig,
+    init_flow: jax.Array | None = None,   # (N, 2) predicted flow (OPTFLOW_USE_INITIAL_FLOW)
 ) -> tuple[jax.Array, jax.Array]:
     """Pyramidal Lucas-Kanade: returns (curr_pts (N, 2), status (N,)).
 
     Matches cv::calcOpticalFlowPyrLK semantics: per level, iterate
     d = G^-1 b with G the template-window structure tensor; status drops
     points whose window leaves the image or whose G is degenerate.
+    ``init_flow`` seeds the coarsest level — with a motion prior this
+    extends the trackable displacement far beyond the pyramid range.
     """
     r = cfg.klt_window // 2
     offs = jnp.stack(
@@ -163,7 +166,10 @@ def lk_track(
     curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
 
     n = pts.shape[0]
-    flow = jnp.zeros((n, 2), jnp.float32)                  # at coarsest level
+    if init_flow is None:
+        flow = jnp.zeros((n, 2), jnp.float32)              # at coarsest level
+    else:
+        flow = init_flow / (2.0 ** cfg.klt_levels)
     status = mask
 
     for lvl in range(cfg.klt_levels, -1, -1):
@@ -218,6 +224,7 @@ def lk_track_fb(
     pts: jax.Array,
     mask: jax.Array,
     cfg: VisualConfig,
+    init_flow: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """LK with a forward-backward consistency check.
 
@@ -226,7 +233,8 @@ def lk_track_fb(
     back from its forward estimate and requiring a sub-pixel return is a
     strictly stronger filter that costs one extra (fully parallel) LK pass.
     """
-    curr_pts, st = lk_track(prev_img, curr_img, pts, mask, cfg)
-    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, cfg)
+    curr_pts, st = lk_track(prev_img, curr_img, pts, mask, cfg, init_flow)
+    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, cfg,
+                              None if init_flow is None else -init_flow)
     fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
     return curr_pts, st & st_b & (fb_err < cfg.klt_fb_threshold**2)

@@ -1,0 +1,69 @@
+"""CLI entry point: ``python -m vloam_tpu.runtime``.
+
+Replaces the reference's actionlib goal {date, seq, start_frame, end_frame}
+(vloam_main.action:1-10) + launch-file parameter surface with flags.
+
+Examples:
+  # synthetic end-to-end smoke (no data needed)
+  python -m vloam_tpu.runtime --dataset synthetic --frames 10
+
+  # KITTI raw drive, decoupled mode, trajectories into results/
+  python -m vloam_tpu.runtime --dataset raw --root /data/kitti \\
+      --date 2011_09_26 --seq 0001 --out results/2011_09_26_drive_0001
+
+  # KITTI odometry benchmark sequence, coupled mode
+  python -m vloam_tpu.runtime --dataset odometry --root /data/kitti_odom \\
+      --seq 00 --couple
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="vloam_tpu sequence driver")
+    p.add_argument("--dataset", choices=["synthetic", "raw", "odometry"], default="synthetic")
+    p.add_argument("--root", help="dataset root directory")
+    p.add_argument("--date", help="KITTI raw date, e.g. 2011_09_26")
+    p.add_argument("--seq", help="drive number (raw, e.g. 0001) or sequence (odometry, e.g. 00)")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--frames", type=int, default=10, help="synthetic: number of frames")
+    p.add_argument("--speed", type=float, default=0.8, help="synthetic: m/frame")
+    p.add_argument("--out", default=None, help="trajectory output directory")
+    p.add_argument("--couple", action="store_true", help="coupled VO+LO mode (detach_VO_LO=false)")
+    p.add_argument("--lidar-only", action="store_true", help="skip VO (A-LOAM mode)")
+    p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
+    p.add_argument("--json", action="store_true", help="print metrics as one JSON line")
+    args = p.parse_args()
+
+    from vloam_tpu.config import hdl32, kitti_hdl64, vlp16
+
+    cfg = {64: kitti_hdl64, 32: hdl32, 16: vlp16}[args.beams]()
+    if args.couple:
+        cfg = cfg.replace(detach_vo_lo=False)
+
+    from vloam_tpu.runtime.driver import run_kitti, run_synthetic
+
+    if args.dataset == "synthetic":
+        res = run_synthetic(
+            cfg, n_frames=args.frames, speed=args.speed, out_dir=args.out,
+            verbose=not args.json, lidar_only=args.lidar_only,
+        )
+    else:
+        from vloam_tpu.data.kitti import OdometrySequence, RawSequence
+
+        if args.dataset == "raw":
+            seq = RawSequence(args.root, args.date, args.seq, with_images=not args.lidar_only)
+        else:
+            seq = OdometrySequence(args.root, args.seq, with_images=not args.lidar_only)
+        res = run_kitti(cfg, seq, out_dir=args.out, start=args.start, end=args.end,
+                        verbose=not args.json)
+    if args.json:
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

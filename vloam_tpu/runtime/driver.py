@@ -1,0 +1,191 @@
+"""Sequence driver: the frame loop of vloam_main_node.cpp:134-202 as a CLI.
+
+Replaces actionlib goals + rosbag replay with direct dataset iteration.
+Writes the same VO{d}.txt / LO{d}.txt / MO{d}.txt trajectory files
+({d} = detach_VO_LO as 0/1, vloam_main_node.cpp:99-101) so the reference's
+evaluation tooling applies unchanged.  World poses are additionally
+accumulated in float64 on host (the reference leans on Ceres doubles; we
+rebase each frame's f32 device delta onto a f64 host chain).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+from vloam_tpu.config import VloamConfig
+from vloam_tpu.data import synthetic
+from vloam_tpu.models import frame_graph as fg
+from vloam_tpu.models.vloam import VloamOutputs, init_vloam_state, vloam_step
+from vloam_tpu.utils.profiling import StageTimer
+from vloam_tpu.utils.trajectory import TrajectoryWriter
+
+
+def extrinsics_from_calib(calib) -> fg.Extrinsics:
+    """KittiCalib -> frame-graph Extrinsics.  base_link is taken as the
+    velodyne frame (the reference's coupling chain conflates them anyway;
+    exports are rebased to cam0@start so the choice cancels there)."""
+    cam_T_velo = jnp.array(calib.cam_T_velo, jnp.float32)
+    rect = jnp.array(calib.rect0_T_cam, jnp.float32)
+    velo_T_cam0 = geo.pose_from_matrix(jnp.linalg.inv(rect @ cam_T_velo))
+    return fg.Extrinsics(
+        base_T_cam0=velo_T_cam0,
+        velo_T_cam0=velo_T_cam0,
+        cam_T_velo=cam_T_velo,
+        P_rect0=jnp.array(calib.P_rect0, jnp.float32),
+        R_rect0=rect,
+    )
+
+
+def pad_image(img: np.ndarray, cfg: VloamConfig) -> np.ndarray:
+    vc = cfg.visual
+    out = np.zeros((vc.img_height, vc.img_width), np.float32)
+    h = min(img.shape[0], vc.img_height)
+    w = min(img.shape[1], vc.img_width)
+    out[:h, :w] = img[:h, :w]
+    return out
+
+
+class VloamDriver:
+    """Owns the jitted step, the host-side f64 pose chains, and exporters."""
+
+    def __init__(self, cfg: VloamConfig, ext: fg.Extrinsics, out_dir: str | None = None):
+        self.cfg = cfg
+        self.ext = ext
+        self.state = init_vloam_state(cfg)
+        self.timer = StageTimer()
+        self.count = 0
+        self._step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg))
+        self.writers = {}
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            d = int(cfg.detach_vo_lo)
+            self.writers = {
+                "vo": TrajectoryWriter(os.path.join(out_dir, f"VO{d}.txt")),
+                "lo": TrajectoryWriter(os.path.join(out_dir, f"LO{d}.txt")),
+                "mo": TrajectoryWriter(os.path.join(out_dir, f"MO{d}.txt")),
+            }
+
+    def process(self, image: np.ndarray | None, cloud: np.ndarray) -> VloamOutputs:
+        cfg = self.cfg
+        pts, mask = synthetic.pad_cloud(cloud.astype(np.float32), cfg.scan.max_points)
+        if image is None:
+            img = np.zeros((cfg.visual.img_height, cfg.visual.img_width), np.float32)
+        else:
+            img = pad_image(image, cfg)
+        with self.timer.stage("vloam_step"):
+            self.state, out = self._step(
+                self.state, jnp.array(img), jnp.array(pts), jnp.array(mask)
+            )
+            out.mo_pose.block_until_ready()
+        if self.writers:
+            self.writers["vo"].append(out.vo_pose)
+            self.writers["lo"].append(out.lo_pose)
+            self.writers["mo"].append(out.mo_pose)
+        self.count += 1
+        return out
+
+    def close(self):
+        for w in self.writers.values():
+            w.close()
+
+
+def run_synthetic(
+    cfg: VloamConfig,
+    n_frames: int = 10,
+    speed: float = 0.8,
+    yaw_rate: float = 0.005,
+    out_dir: str | None = None,
+    n_azimuth: int = 900,
+    verbose: bool = True,
+    lidar_only: bool = False,
+):
+    """Full-pipeline run on the synthetic raycast world.  Returns a dict of
+    drift metrics vs the exact trajectory (our replacement for the
+    reference's saved-rosbag smoke runs)."""
+    ext = fg.kitti_default_extrinsics()
+    driver = VloamDriver(cfg, ext, out_dir)
+    boxes = synthetic.default_scene()
+    poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
+    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
+
+    # world blob texture for the camera (raycast once from the start pose)
+    rng = np.random.default_rng(11)
+    vc = cfg.visual
+    uv0 = np.stack(
+        [rng.uniform(20, vc.img_width - 20, 1400), rng.uniform(20, vc.img_height - 20, 1400)], -1
+    )
+    R_wc0 = poses[0][0] @ synthetic.CAM_R_WORLD.T
+    pc0, hit = synthetic.raycast_camera(R_wc0, poses[0][1], boxes, K, uv0)
+    blob_world = (pc0[hit] @ R_wc0.T) + poses[0][1]
+
+    outs, t_per_frame = [], []
+    for i, (R, t) in enumerate(poses):
+        cloud = synthetic.simulate_scan(R, t, boxes, n_azimuth=n_azimuth, noise=0.005, seed=i)
+        if lidar_only:
+            img = None
+        else:
+            R_wc = R @ synthetic.CAM_R_WORLD.T
+            img = synthetic.render_blob_image((blob_world - t) @ R_wc, K, vc.img_height, vc.img_width)
+        t0 = time.perf_counter()
+        out = driver.process(img, cloud)
+        t_per_frame.append(time.perf_counter() - t0)
+        outs.append(out)
+        if verbose:
+            mo = np.asarray(out.world_mo)[4:]
+            print(
+                f"frame {i:3d}  {t_per_frame[-1]*1e3:7.1f} ms  "
+                f"MO err {np.linalg.norm(mo - t):.3f} m"
+            )
+    driver.close()
+
+    gt_final = poses[-1][1]
+    path_len = sum(np.linalg.norm(poses[i + 1][1] - poses[i][1]) for i in range(n_frames - 1))
+    res = {
+        "frames": n_frames,
+        "path_len_m": float(path_len),
+        "final_err_vo_m": float(np.linalg.norm(np.asarray(outs[-1].world_vo)[4:] - gt_final)),
+        "final_err_lo_m": float(np.linalg.norm(np.asarray(outs[-1].world_lo)[4:] - gt_final)),
+        "final_err_mo_m": float(np.linalg.norm(np.asarray(outs[-1].world_mo)[4:] - gt_final)),
+        "steady_ms_per_frame": float(np.median(t_per_frame[2:]) * 1e3) if n_frames > 2 else None,
+        "fps": float(1.0 / np.median(t_per_frame[2:])) if n_frames > 2 else None,
+    }
+    if verbose:
+        print(driver.timer.summary())
+        for k, v in res.items():
+            print(f"{k}: {v}")
+    return res
+
+
+def run_kitti(
+    cfg: VloamConfig,
+    sequence,                 # RawSequence | OdometrySequence
+    out_dir: str | None = None,
+    start: int = 0,
+    end: int | None = None,
+    verbose: bool = True,
+):
+    """Run the pipeline over a real KITTI sequence (raw or odometry layout)."""
+    ext = extrinsics_from_calib(sequence.calib)
+    driver = VloamDriver(cfg, ext, out_dir)
+    end = len(sequence) if end is None else min(end, len(sequence))
+    t_per_frame = []
+    for i in range(start, end):
+        f = sequence.frame(i)
+        t0 = time.perf_counter()
+        driver.process(f.image, f.cloud)
+        t_per_frame.append(time.perf_counter() - t0)
+        if verbose and (i - start) % 50 == 0:
+            print(f"frame {i}  {t_per_frame[-1]*1e3:.1f} ms")
+    driver.close()
+    if verbose:
+        print(driver.timer.summary())
+    return {
+        "frames": end - start,
+        "steady_ms_per_frame": float(np.median(t_per_frame[2:]) * 1e3) if len(t_per_frame) > 2 else None,
+    }
