@@ -1,0 +1,91 @@
+"""Headline benchmark: full coupled VLOAM pipeline frames/s on one chip.
+
+Baseline: the reference replays KITTI rosbags at 0.33x real time, i.e. an
+effective ~3.3 Hz ingest on its author's CPU (vloam_main.launch:13,
+BASELINE.md) — the pipeline does not hold the 10 Hz sensor rate.  We measure
+steady-state frames/s of the jitted end-to-end step (VO + scan registration
++ LO + mapping, production HDL-64 config) on synthetic raycast frames sized
+like KITTI (~100k points, 376x1248 image) and report vs that 3.3 Hz.
+
+Prints ONE JSON line:
+  {"metric": "vloam_pipeline_fps", "value": N, "unit": "frames/s", "vs_baseline": N/3.3}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vloam_tpu.config import kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.models import frame_graph as fg
+    from vloam_tpu.models.vloam import init_vloam_state, vloam_step
+
+    cfg = kitti_hdl64()
+    ext = fg.kitti_default_extrinsics()
+    vc = cfg.visual
+
+    # --- pre-generate frames on host (not timed) ---------------------------
+    boxes = synthetic.default_scene()
+    poses = synthetic.straight_trajectory(6, speed=0.8, yaw_rate=0.005)
+    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
+    rng = np.random.default_rng(11)
+    uv0 = np.stack(
+        [rng.uniform(20, vc.img_width - 20, 1400), rng.uniform(20, vc.img_height - 20, 1400)], -1
+    )
+    R_wc0 = poses[0][0] @ synthetic.CAM_R_WORLD.T
+    pc0, hit = synthetic.raycast_camera(R_wc0, poses[0][1], boxes, K, uv0)
+    blob_world = (pc0[hit] @ R_wc0.T) + poses[0][1]
+
+    frames = []
+    for i, (R, t) in enumerate(poses):
+        cloud = synthetic.simulate_scan(R, t, boxes, n_azimuth=1800, noise=0.005, seed=i)
+        R_wc = R @ synthetic.CAM_R_WORLD.T
+        img = synthetic.render_blob_image(
+            (blob_world - t) @ R_wc, K, vc.img_height, vc.img_width
+        )
+        pts, mask = synthetic.pad_cloud(cloud, cfg.scan.max_points)
+        frames.append(
+            (jnp.array(img), jnp.array(pts), jnp.array(mask))
+        )
+
+    step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg))
+    state = init_vloam_state(cfg)
+
+    # warm-up: compile + map bootstrap
+    for f in frames[:2]:
+        state, out = step(state, *f)
+    out.mo_pose.block_until_ready()
+
+    # Steady-state throughput: frames stream through the device asynchronously
+    # (trajectory rows are fetched in batches in production); one final fetch
+    # closes the timing window through the full sequential state dependency.
+    n_timed = 24
+    t0 = time.perf_counter()
+    for k in range(n_timed):
+        f = frames[2 + k % (len(frames) - 2)]
+        state, out = step(state, *f)
+    np.asarray(out.mo_pose)
+    fps = n_timed / (time.perf_counter() - t0)
+    baseline_fps = 3.3
+    print(
+        json.dumps(
+            {
+                "metric": "vloam_pipeline_fps",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

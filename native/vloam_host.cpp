@@ -1,0 +1,226 @@
+// vloam_tpu native host runtime: KITTI frame IO + async prefetch pipeline.
+//
+// The reference's IO path is C++ too (rosbag replay + pcl::fromROSMsg +
+// cv_bridge, vloam_main_node.cpp:147-164); here the equivalent is a small
+// dependency-free shared library the Python driver binds via ctypes:
+//
+//   * load_bin          — velodyne .bin reader (xyzr float32 -> xyz), the
+//                         semantics of point_cloud_util.cpp:148-176
+//   * load_png_gray     — 8/16-bit grayscale PNG decode via libpng
+//   * prefetcher        — a background thread pool that reads + pads frames
+//                         ahead of the device step so host IO overlaps TPU
+//                         compute (double-buffered frame queue)
+//
+// Build: native/build.sh  ->  native/libvloam_host.so
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <png.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Velodyne .bin
+// ---------------------------------------------------------------------------
+
+// Reads a KITTI velodyne .bin (N x [x y z reflectance] float32).  Writes up
+// to max_points xyz triplets into out (row-major) and returns the number of
+// points written, or -1 on IO failure.
+int vh_load_bin(const char* path, float* out, int max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  int n = 0;
+  float buf[4];
+  while (n < max_points && std::fread(buf, sizeof(float), 4, f) == 4) {
+    out[3 * n + 0] = buf[0];
+    out[3 * n + 1] = buf[1];
+    out[3 * n + 2] = buf[2];
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Grayscale PNG
+// ---------------------------------------------------------------------------
+
+// Decodes a grayscale (or RGB -> luma) PNG into out (height*width float32,
+// 0..255), top-left origin, cropped/zero-padded to (height, width).
+// Returns 0 on success.
+int vh_load_png_gray(const char* path, float* out, int height, int width) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  png_byte header[8];
+  if (std::fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(f);
+    return -2;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return -3;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_RGB_ALPHA ||
+      color == PNG_COLOR_TYPE_PALETTE)
+    png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  png_read_update_info(png, info);
+
+  std::vector<png_byte> row(png_get_rowbytes(png, info));
+  std::memset(out, 0, sizeof(float) * height * width);
+  for (png_uint_32 y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    if ((int)y >= height) continue;
+    png_uint_32 wcopy = w < (png_uint_32)width ? w : (png_uint_32)width;
+    for (png_uint_32 x = 0; x < wcopy; ++x) out[y * width + x] = (float)row[x];
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Async frame prefetcher
+// ---------------------------------------------------------------------------
+
+struct Frame {
+  std::vector<float> cloud;  // max_points * 3, zero-padded
+  int n_points = 0;
+  std::vector<float> image;  // height * width (empty if no image)
+  int status = 0;
+  int index = 0;
+};
+
+struct Prefetcher {
+  std::vector<std::string> bins;
+  std::vector<std::string> pngs;  // empty strings when lidar-only
+  int max_points, height, width, depth;
+  std::atomic<int> next_submit{0};
+  int next_emit = 0;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<Frame> ready;  // ordered by completion; emitted in index order
+  std::vector<Frame> done;  // index-keyed completed frames
+  std::vector<bool> done_set;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+
+  void worker() {
+    for (;;) {
+      if (stop.load()) return;
+      int i = next_submit.fetch_add(1);
+      if (i >= (int)bins.size()) return;
+      // backpressure: stay at most `depth` frames ahead of the consumer
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stop.load() || i < next_emit + depth; });
+        if (stop.load()) return;
+      }
+      Frame fr;
+      fr.index = i;
+      fr.cloud.assign((size_t)max_points * 3, 0.0f);
+      fr.n_points = vh_load_bin(bins[i].c_str(), fr.cloud.data(), max_points);
+      if (fr.n_points < 0) fr.status = -1;
+      if (!pngs[i].empty()) {
+        fr.image.assign((size_t)height * width, 0.0f);
+        if (vh_load_png_gray(pngs[i].c_str(), fr.image.data(), height, width) != 0)
+          fr.status = -2;
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done[i] = std::move(fr);
+        done_set[i] = true;
+      }
+      cv.notify_all();
+    }
+  }
+};
+
+// paths: '\n'-joined bin paths; img_paths likewise ('\n'-joined, empty lines
+// for lidar-only frames) or nullptr.
+void* vh_prefetcher_create(const char* bin_paths, const char* img_paths, int max_points,
+                           int height, int width, int depth, int n_threads) {
+  auto split = [](const char* s) {
+    std::vector<std::string> out;
+    if (!s) return out;
+    const char* p = s;
+    while (*p) {
+      const char* e = std::strchr(p, '\n');
+      if (!e) {
+        out.emplace_back(p);
+        break;
+      }
+      out.emplace_back(p, e - p);
+      p = e + 1;
+    }
+    return out;
+  };
+  auto* pf = new Prefetcher();
+  pf->bins = split(bin_paths);
+  pf->pngs = split(img_paths);
+  pf->pngs.resize(pf->bins.size());
+  pf->max_points = max_points;
+  pf->height = height;
+  pf->width = width;
+  pf->depth = depth < 1 ? 2 : depth;
+  pf->done.resize(pf->bins.size());
+  pf->done_set.assign(pf->bins.size(), false);
+  int nt = n_threads < 1 ? 2 : n_threads;
+  for (int t = 0; t < nt; ++t) pf->workers.emplace_back([pf] { pf->worker(); });
+  return pf;
+}
+
+int vh_prefetcher_len(void* handle) { return (int)((Prefetcher*)handle)->bins.size(); }
+
+// Blocks until the next frame (in order) is loaded; copies it out.
+// Returns n_points (>=0) or the frame's error status (<0); -99 when past the end.
+int vh_prefetcher_next(void* handle, float* cloud_out, float* image_out) {
+  auto* pf = (Prefetcher*)handle;
+  int i = pf->next_emit;
+  if (i >= (int)pf->bins.size()) return -99;
+  std::unique_lock<std::mutex> lk(pf->mu);
+  pf->cv.wait(lk, [&] { return pf->done_set[i]; });
+  Frame& fr = pf->done[i];
+  std::memcpy(cloud_out, fr.cloud.data(), sizeof(float) * (size_t)pf->max_points * 3);
+  if (image_out && !fr.image.empty())
+    std::memcpy(image_out, fr.image.data(), sizeof(float) * (size_t)pf->height * pf->width);
+  int rc = fr.status < 0 ? fr.status : fr.n_points;
+  fr = Frame();  // release memory
+  pf->next_emit = i + 1;
+  lk.unlock();
+  pf->cv.notify_all();
+  return rc;
+}
+
+void vh_prefetcher_destroy(void* handle) {
+  auto* pf = (Prefetcher*)handle;
+  pf->stop.store(true);
+  pf->cv.notify_all();
+  for (auto& t : pf->workers) t.join();
+  delete pf;
+}
+
+}  // extern "C"

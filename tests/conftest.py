@@ -22,6 +22,12 @@ try:
 except Exception:
     pass
 
+# Persistent XLA compile cache: the suite compiles many structurally identical
+# programs (same configs across test files); the 2-core CI box pays minutes per
+# compile otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vloam_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

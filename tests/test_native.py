@@ -1,0 +1,85 @@
+"""Native host runtime: .bin/.png loaders + async prefetcher vs NumPy oracles."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from vloam_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (native/build.sh)"
+)
+
+
+@pytest.fixture
+def bin_files(tmp_path, rng):
+    paths, arrays = [], []
+    for i in range(5):
+        pts = rng.normal(size=(100 + 17 * i, 4)).astype(np.float32)
+        p = tmp_path / f"{i:06d}.bin"
+        pts.tofile(p)
+        paths.append(str(p))
+        arrays.append(pts[:, :3])
+    return paths, arrays
+
+
+def test_load_bin_matches_numpy(bin_files):
+    paths, arrays = bin_files
+    out, n = native.load_bin(paths[0], 4096)
+    assert n == len(arrays[0])
+    np.testing.assert_allclose(out[:n], arrays[0])
+    assert (out[n:] == 0).all()
+
+
+def test_load_bin_truncates(bin_files):
+    paths, arrays = bin_files
+    out, n = native.load_bin(paths[1], 50)
+    assert n == 50
+    np.testing.assert_allclose(out, arrays[1][:50])
+
+
+def test_load_png_gray(tmp_path, rng):
+    from PIL import Image
+
+    img = rng.integers(0, 255, size=(60, 80), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img, "L").save(p)
+    out = native.load_png_gray(str(p), 64, 96)  # padded target
+    np.testing.assert_allclose(out[:60, :80], img.astype(np.float32))
+    assert (out[60:, :] == 0).all() and (out[:, 80:] == 0).all()
+
+
+def test_prefetcher_ordered_stream(bin_files, tmp_path, rng):
+    from PIL import Image
+
+    paths, arrays = bin_files
+    img_paths = []
+    imgs = []
+    for i in range(5):
+        img = rng.integers(0, 255, size=(40, 50), dtype=np.uint8)
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(img, "L").save(p)
+        img_paths.append(str(p))
+        imgs.append(img)
+
+    pf = native.NativePrefetcher(paths, img_paths, max_points=512, height=40, width=50, depth=2)
+    assert len(pf) == 5
+    for i, (cloud, n, img) in enumerate(pf):
+        assert n == len(arrays[i])
+        np.testing.assert_allclose(cloud[:n], arrays[i])
+        np.testing.assert_allclose(img, imgs[i].astype(np.float32))
+    pf.close()
+
+
+def test_prefetcher_lidar_only(bin_files):
+    paths, arrays = bin_files
+    pf = native.NativePrefetcher(paths, None, max_points=512)
+    seen = 0
+    for i, (cloud, n, img) in enumerate(pf):
+        assert img is None
+        np.testing.assert_allclose(cloud[:n], arrays[i])
+        seen += 1
+    assert seen == 5
+    pf.close()

@@ -82,6 +82,11 @@ class MappingConfig:
     min_map_corner: int = 10          # laserCloudCornerFromMapNum > 10 gate (laser_mapping.cpp:514)
     min_map_surf: int = 50            # laserCloudSurfFromMapNum > 50 gate
     skip_frame: int = 1               # mapping_skip_frame
+    insert_dedup: bool = True         # ours: gate insertions on nearest-map-point
+                                      # distance instead of re-voxelising the 75
+                                      # window cubes every frame (laser_mapping.cpp:793-808)
+                                      # — same bounded density, ~30x cheaper on TPU
+    insert_dedup_factor: float = 0.5  # gate radius = factor * voxel resolution
 
 
 @dataclass(frozen=True)
@@ -112,6 +117,8 @@ class VisualConfig:
     klt_min_eig: float = 1e-4
     klt_fb_check: bool = True         # forward-backward track validation (ours; ref has none)
     klt_fb_threshold: float = 1.0     # max forward-backward return error (px)
+    klt_patch_slack: int = 12         # extra patch margin so per-level iterations
+                                      # stay inside one contiguous slice (TPU layout)
     # depth buckets (point_cloud_util.cpp:34,256-487)
     downsample_grid: int = 5
     query_radius: int = 2
@@ -125,7 +132,7 @@ class VisualConfig:
     remove_vo_outlier: float = 100.0  # pixel displacement gate
     reset_vo_to_identity: bool = False
     huber_delta: float = 0.1
-    max_iters: int = 20               # ceres used <=100; GN converges in far fewer
+    max_iters: int = 10               # ceres used <=100; GN converges in far fewer
     lm_lambda: float = 1e-4
     max_features: int = 1024          # fixed feature buffer size
 

@@ -29,7 +29,7 @@ from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.ops import lidar_factors
 from vloam_tpu.ops.gauss_newton import solve_pose_gn
-from vloam_tpu.ops.knn import knn
+from vloam_tpu.ops.knn import knn, nn1
 from vloam_tpu.ops.linalg3 import eigh3x3, solve3x3
 from vloam_tpu.ops.voxel import voxel_downsample
 
@@ -50,9 +50,13 @@ def n_cubes(cfg: VloamConfig) -> int:
     return mc.grid_w * mc.grid_h * mc.grid_d
 
 
-def init_map_state(cfg: VloamConfig) -> MapState:
+def init_map_state(cfg: VloamConfig, n_shards: int = 1) -> MapState:
+    """``n_shards > 1`` pads the slot axis to a multiple of the shard count so
+    the cube arrays partition evenly across a mesh axis (pad slots hold the
+    never-matching sentinel coord and are never addressed)."""
     mc = cfg.mapping
     nc = n_cubes(cfg)
+    nc = -(-nc // n_shards) * n_shards
     return MapState(
         corner_pts=jnp.zeros((nc, mc.corner_cube_cap, 4), jnp.float32),
         corner_cnt=jnp.zeros((nc,), jnp.int32),
@@ -90,27 +94,30 @@ def _submap_coords(center_coord: jax.Array, cfg: VloamConfig) -> jax.Array:
 
 
 def _gather_submap(state: MapState, coords: jax.Array, cfg: VloamConfig):
-    """Gather the neighbourhood cubes' points with validity masks."""
+    """Gather the neighbourhood cubes' points, compacted into dense buffers.
+
+    Cube buffers are mostly padding (capacity >> typical occupancy after
+    re-voxelisation); compacting before the NN matmuls shrinks the candidate
+    axis ~5-20x (laser_mapping.cpp:479-485 concatenates the same way)."""
+    from vloam_tpu.ops.knn import compact_rows
+
     slots = coord_to_slot(coords, cfg)                      # (75,)
     fresh = jnp.all(jnp.take(state.cube_coord, slots, axis=0) == coords, axis=-1)  # (75,)
 
-    def grab(pts, cnt, cap):
+    def grab(pts, cnt, out_cap):
         sub = jnp.take(pts, slots, axis=0)                  # (75, cap, 4)
-        col = jnp.arange(cap)[None, :]
-        m = fresh[:, None] & (col < jnp.take(cnt, slots)[:, None])
-        return sub.reshape(-1, 4), m.reshape(-1)
+        counts = jnp.where(fresh, jnp.take(cnt, slots), 0)
+        return compact_rows(sub, counts, out_cap)
 
-    c_pts, c_mask = grab(state.corner_pts, state.corner_cnt, cfg.mapping.corner_cube_cap)
-    s_pts, s_mask = grab(state.surf_pts, state.surf_cnt, cfg.mapping.surf_cube_cap)
+    c_pts, c_mask = grab(state.corner_pts, state.corner_cnt, cfg.mapping.submap_corner_cap)
+    s_pts, s_mask = grab(state.surf_pts, state.surf_cnt, cfg.mapping.submap_surf_cap)
     return (c_pts, c_mask), (s_pts, s_mask), slots, fresh
 
 
-def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
-    """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604)."""
+def fit_corner_lines(stack, stack_mask, nbr, d2, cfg):
+    """PCA line fit from gathered 5-NN neighbours (laser_mapping.cpp:557-604).
+    nbr: (M, 5, 3) neighbour xyz; d2: (M, 5) their squared distances."""
     mc = cfg.mapping
-    q = geo.pose_apply(pose, stack[:, :3])
-    d2, idx = knn(q, cand[:, :3], cand_mask, mc.n_neighbors)
-    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
     center = jnp.mean(nbr, axis=1)
     zm = nbr - center[:, None, :]
     cov = jnp.einsum("mki,mkj->mij", zm, zm)
@@ -123,12 +130,9 @@ def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
     return stack[:, :3], a, b, valid
 
 
-def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
-    """5-NN + least-squares plane fit A n = -1 (laser_mapping.cpp:626-699)."""
+def fit_surf_planes(stack, stack_mask, nbr, d2, cfg):
+    """Least-squares plane fit A n = -1 from 5-NN (laser_mapping.cpp:637-681)."""
     mc = cfg.mapping
-    q = geo.pose_apply(pose, stack[:, :3])
-    d2, idx = knn(q, cand[:, :3], cand_mask, mc.n_neighbors)
-    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
     ata = jnp.einsum("mki,mkj->mij", nbr, nbr)
     atb = -jnp.sum(nbr, axis=1)
     nrm = solve3x3(ata, atb)                                 # (M, 3)
@@ -141,15 +145,34 @@ def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
     return stack[:, :3], n_unit, d, valid
 
 
-def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg):
+def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+    """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604)."""
+    q = geo.pose_apply(pose, stack[:, :3])
+    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
+    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
+    return fit_corner_lines(stack, stack_mask, nbr, d2, cfg)
+
+
+def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+    """5-NN + least-squares plane fit A n = -1 (laser_mapping.cpp:626-699)."""
+    q = geo.pose_apply(pose, stack[:, :3])
+    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
+    nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
+    return fit_surf_planes(stack, stack_mask, nbr, d2, cfg)
+
+
+def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg, slot_offset=0):
     """Append world-frame points into their cube slots (block-cyclic).
 
     Stale slots (holding an evicted world cube) are reset before appending.
+    ``slot_offset`` shifts global slot ids into this shard's local range
+    (points outside [0, nc) are dropped — they belong to another shard).
     Returns (pts, cnt, cube_coord, touched_slot_mask).
     """
     nc = state_pts.shape[0]
     coord = cube_coord_of(pts_w[:, :3], cfg.mapping.cube_size)
-    slot = coord_to_slot(coord, cfg)
+    slot = coord_to_slot(coord, cfg) - slot_offset
+    mask = mask & (slot >= 0) & (slot < nc)
     slot = jnp.where(mask, slot, nc)                         # invalid -> scrap slot
 
     # Reset stale slots touched by this insertion.
@@ -185,11 +208,16 @@ def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg):
     return pts_flat.reshape(nc, cap, 4), cnt + added, cube_coord, touched
 
 
-def _refilter_cubes(pts, cnt, slots, fresh, leaf, cap, cfg):
-    """Re-voxel-downsample the submap-window cubes (laser_mapping.cpp:793-808)."""
-    sub = jnp.take(pts, slots, axis=0)                       # (75, cap, 4)
+def _refilter_cubes(pts, cnt, slots, leaf, cap, cfg):
+    """Re-voxel-downsample the submap-window cubes (laser_mapping.cpp:793-808).
+
+    Out-of-range slot ids (another shard's cubes, in the distributed path)
+    are gathered clipped and dropped on scatter-back."""
+    nc = pts.shape[0]
+    slots_c = jnp.clip(slots, 0, nc - 1)
+    sub = jnp.take(pts, slots_c, axis=0)                     # (75, cap, 4)
     col = jnp.arange(cap)[None, :]
-    m = col < jnp.take(cnt, slots)[:, None]
+    m = col < jnp.take(cnt, slots_c)[:, None]
 
     def one(p, mm):
         return voxel_downsample(p, mm, leaf, cap, max_grid=256)
@@ -198,8 +226,8 @@ def _refilter_cubes(pts, cnt, slots, fresh, leaf, cap, cfg):
     newc = jnp.sum(newm, axis=1).astype(jnp.int32)
     # scatter back (slots unique inside the window; duplicates impossible mod-grid
     # because the window is smaller than the grid in every axis)
-    pts = pts.at[slots].set(jnp.where(newm[..., None], newp, 0.0))
-    cnt = cnt.at[slots].set(newc)
+    pts = pts.at[slots].set(jnp.where(newm[..., None], newp, 0.0), mode="drop")
+    cnt = cnt.at[slots].set(newc, mode="drop")
     return pts, cnt
 
 
@@ -217,11 +245,14 @@ def mapping_step(
     pose0 = geo.pose_compose(state.wmap_wodom, pose_wodom)
 
     # Downsample input features (laser_mapping.cpp:491-500).
+    # inputs are ring/azimuth-ordered feature clouds -> run-merge, no sort
     corner_stack, cs_mask = voxel_downsample(
-        corner_in, corner_in_mask, mc.line_resolution, mc.corner_stack_cap, max_grid=1024
+        corner_in, corner_in_mask, mc.line_resolution, mc.corner_stack_cap,
+        max_grid=1024, presorted=True,
     )
     surf_stack, ss_mask = voxel_downsample(
-        surf_in, surf_in_mask, mc.plane_resolution, mc.surf_stack_cap, max_grid=512
+        surf_in, surf_in_mask, mc.plane_resolution, mc.surf_stack_cap,
+        max_grid=512, presorted=True,
     )
 
     center = cube_coord_of(geo.pose_t(pose0)[None, :], mc.cube_size)[0]
@@ -256,20 +287,30 @@ def mapping_step(
     # Insert registered features into cubes (laser_mapping.cpp:741-788).
     corner_w = corner_stack.at[:, :3].set(geo.pose_apply(pose_w, corner_stack[:, :3]))
     surf_w = surf_stack.at[:, :3].set(geo.pose_apply(pose_w, surf_stack[:, :3]))
+    ins_c_mask, ins_s_mask = cs_mask, ss_mask
+    if mc.insert_dedup:
+        # Density gate replacing the per-frame window re-voxelisation
+        # (laser_mapping.cpp:793-808): a registered point enters the map only
+        # if no existing map point lies within half a voxel of it.
+        d2c, _ = nn1(corner_w[:, :3], c_pts[:, :3], c_mask)
+        d2s, _ = nn1(surf_w[:, :3], s_pts[:, :3], s_mask)
+        ins_c_mask = cs_mask & (d2c > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
+        ins_s_mask = ss_mask & (d2s > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
     c_arr, c_cnt, cube_coord, _ = _scatter_insert(
-        corner_w, cs_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
+        corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
         mc.corner_cube_cap, cfg,
     )
     s_arr, s_cnt, cube_coord, _ = _scatter_insert(
-        surf_w, ss_mask, state.surf_pts, state.surf_cnt, cube_coord,
+        surf_w, ins_s_mask, state.surf_pts, state.surf_cnt, cube_coord,
         mc.surf_cube_cap, cfg,
     )
 
-    # Re-filter the submap window (laser_mapping.cpp:793-808).
-    c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, slots, fresh, mc.line_resolution,
-                                   mc.corner_cube_cap, cfg)
-    s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, slots, fresh, mc.plane_resolution,
-                                   mc.surf_cube_cap, cfg)
+    if not mc.insert_dedup:
+        # Reference-exact path: re-voxelise the submap window each frame.
+        c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, slots, mc.line_resolution,
+                                       mc.corner_cube_cap, cfg)
+        s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, slots, mc.plane_resolution,
+                                       mc.surf_cube_cap, cfg)
 
     return MapState(
         corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,

@@ -34,6 +34,8 @@ class VoState(NamedTuple):
     prev_img: jax.Array         # (H, W)
     prev_pts: jax.Array         # (max_features, 2) corners detected on prev frame
     prev_pts_mask: jax.Array    # (max_features,)
+    prev_desc: jax.Array        # (max_features, 8) uint32 ORB descriptors
+    prev_desc_mask: jax.Array   # (max_features,)
     prev_buckets: DepthBuckets  # lidar depth map of prev frame
     count: jax.Array            # () int32 frame counter
 
@@ -46,6 +48,8 @@ def init_vo_state(cfg: VloamConfig) -> VoState:
         prev_img=jnp.zeros((vc.img_height, vc.img_width), jnp.float32),
         prev_pts=jnp.zeros((vc.max_features, 2), jnp.float32),
         prev_pts_mask=jnp.zeros((vc.max_features,), bool),
+        prev_desc=jnp.zeros((vc.max_features, 8), jnp.uint32),
+        prev_desc_mask=jnp.zeros((vc.max_features,), bool),
         prev_buckets=DepthBuckets(z, z, z, z),
         count=jnp.array(0, jnp.int32),
     )
@@ -78,6 +82,10 @@ def vo_step(
     vc = cfg.visual
 
     # --- frontend -----------------------------------------------------------
+    if vc.clahe:
+        from vloam_tpu.ops.clahe import clahe as _clahe
+
+        img = _clahe(img, vc.clahe_clip)
     pts, pts_mask, resp = image_ops.detect_corners(img, vc)
     if vc.keypoint_nms:
         pts_mask = image_ops.bucket_nms(pts, pts_mask, resp, vc)
@@ -85,21 +93,35 @@ def vo_step(
     # --- depth association (prev frame's buckets at prev pixel) -------------
     depth0 = query_depth(state.prev_buckets, state.prev_pts, vc)
 
-    K_pred = K
-    pose_pred = geo.pose_identity() if lo_prior is None else lo_prior
-    # Seed KLT with the motion-prior flow: project each prev feature's 3D
-    # point (bucket depth, or a nominal mid-range depth) through the prior.
-    d_nom = jnp.where(depth0 > 0, depth0, 15.0)
-    X0_pred = _unproject(jnp.linalg.inv(K_pred), state.prev_pts, d_nom)
-    X1_pred = geo.pose_apply(pose_pred, X0_pred)
-    uv_pred = X1_pred @ K_pred.T
-    uv_pred = uv_pred[:, :2] / jnp.maximum(uv_pred[:, 2:3], 1e-3)
-    init_flow = jnp.clip(uv_pred - state.prev_pts, -120.0, 120.0)
+    if vc.optical_flow_match:
+        # Seed KLT with the motion-prior flow: project each prev feature's 3D
+        # point (bucket depth, or a nominal mid-range depth) through the prior.
+        pose_pred = geo.pose_identity() if lo_prior is None else lo_prior
+        d_nom = jnp.where(depth0 > 0, depth0, 15.0)
+        X0_pred = _unproject(jnp.linalg.inv(K), state.prev_pts, d_nom)
+        X1_pred = geo.pose_apply(pose_pred, X0_pred)
+        uv_pred = X1_pred @ K.T
+        uv_pred = uv_pred[:, :2] / jnp.maximum(uv_pred[:, 2:3], 1e-3)
+        init_flow = jnp.clip(uv_pred - state.prev_pts, -120.0, 120.0)
 
-    track = image_ops.lk_track_fb if vc.klt_fb_check else image_ops.lk_track
-    curr_pts, track_ok = track(
-        state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc, init_flow
-    )
+        track = image_ops.lk_track_fb if vc.klt_fb_check else image_ops.lk_track
+        curr_pts, track_ok = track(
+            state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc, init_flow
+        )
+        desc = state.prev_desc          # unused in this mode
+        desc_mask = state.prev_desc_mask
+    else:
+        # Descriptor mode (the reference default): ORB on current corners,
+        # BF 2-NN + ratio matching against the previous frame's descriptors
+        # (image_util.cpp:280-438).
+        from vloam_tpu.ops import orb
+
+        desc, desc_mask = orb.orb_descriptors(img, pts, pts_mask, vc)
+        midx, mvalid = orb.match_descriptors(
+            state.prev_desc, state.prev_desc_mask, desc, desc_mask
+        )
+        curr_pts = jnp.take(pts, midx, axis=0)
+        track_ok = mvalid
     track_ok = track_ok & (state.count > 0)
 
     # outlier gate on pixel displacement (visual_odometry.cpp:363-368)
@@ -135,6 +157,8 @@ def vo_step(
         prev_img=img,
         prev_pts=pts,
         prev_pts_mask=pts_mask,
+        prev_desc=desc,
+        prev_desc_mask=desc_mask,
         prev_buckets=buckets,
         count=state.count + 1,
     )

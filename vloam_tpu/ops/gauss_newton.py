@@ -53,9 +53,11 @@ def normal_equations(
 
 def lm_step(jtj: jax.Array, jtr: jax.Array, lm_lambda: float) -> jax.Array:
     """Solve (J^T J + lambda diag(J^T J)) dx = -J^T r."""
+    from vloam_tpu.ops.linalg3 import solve_spd_small
+
     d = jnp.diagonal(jtj)
     damped = jtj + jnp.diag(lm_lambda * d + 1e-10)
-    return jnp.linalg.solve(damped, -jtr)
+    return solve_spd_small(damped, -jtr)
 
 
 def pose_plus(pose: jax.Array, delta: jax.Array) -> jax.Array:

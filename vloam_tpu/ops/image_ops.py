@@ -76,10 +76,13 @@ def detect_corners(
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     is_peak = is_peak & (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
 
-    score = jnp.where(is_peak, resp, -jnp.inf).reshape(-1)
-    top, idx = jax.lax.top_k(score, cfg.max_corners)
+    neg_big = jnp.float32(-3.4e38)
+    score = jnp.where(is_peak, resp, neg_big).reshape(-1)
+    # approx_max_k hits the TPU PartialReduce unit — top_k would full-sort 468k
+    top, idx = jax.lax.approx_max_k(score[None, :], cfg.max_corners, recall_target=0.95)
+    top, idx = top[0], idx[0]
     pts = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
-    mask = top > -jnp.inf
+    mask = top > neg_big
     return pts, mask, top
 
 
@@ -139,6 +142,34 @@ def _bilinear(img: jax.Array, xy: jax.Array) -> jax.Array:
     )
 
 
+def _tent_weights(x: jax.Array, P: int) -> jax.Array:
+    """Bilinear (tent) interpolation weights onto an integer grid of size P.
+
+    x: (..., w) float coords in patch space -> (..., w, P) weights with two
+    non-zeros per row.  Sampling then becomes a dense matmul — this is what
+    keeps the KLT inner loop on the MXU instead of issuing per-pixel gathers
+    (which are serial scalar loads on TPU).
+    """
+    xc = jnp.clip(x, 0.0, P - 1.000001)
+    grid = jnp.arange(P, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - grid))
+
+
+def _sample_windows(patch: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Array:
+    """(N,P,P) patches x (N,w,P) row/col weights -> (N,w,w) windows via two
+    batched matmuls (MXU)."""
+    tmp = jnp.einsum("nwp,npq->nwq", wy, patch, preferred_element_type=jnp.float32)
+    return jnp.einsum("nwq,nvq->nwv", tmp, wx, preferred_element_type=jnp.float32)
+
+
+def _slice_patches(img: jax.Array, corner: jax.Array, P: int) -> jax.Array:
+    """vmapped dynamic_slice: (H,W) image + (N,2) int corners -> (N,P,P)."""
+    def one(c):
+        return jax.lax.dynamic_slice(img, (c[1], c[0]), (P, P))
+
+    return jax.vmap(one)(corner)
+
+
 def lk_track(
     prev_img: jax.Array,
     curr_img: jax.Array,
@@ -154,16 +185,19 @@ def lk_track(
     points whose window leaves the image or whose G is degenerate.
     ``init_flow`` seeds the coarsest level — with a motion prior this
     extends the trackable displacement far beyond the pyramid range.
+
+    TPU formulation: per (feature, level) a single contiguous (P, P) patch is
+    sliced from each image; every window resample inside the iteration loop
+    is two batched interpolation matmuls over the patch (no gathers).
     """
     r = cfg.klt_window // 2
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-r, r + 1, dtype=jnp.float32),
-                     jnp.arange(-r, r + 1, dtype=jnp.float32), indexing="xy"),
-        axis=-1,
-    ).reshape(-1, 2)                                       # (w2, 2)
+    w = 2 * r + 1
+    ph = r + cfg.klt_patch_slack + 1
+    P = 2 * ph
+    offs1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
 
-    prev_pyr = gaussian_pyramid(prev_img, cfg.klt_levels)
-    curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
+    prev_pyr = prev_img if isinstance(prev_img, list) else gaussian_pyramid(prev_img, cfg.klt_levels)
+    curr_pyr = curr_img if isinstance(curr_img, list) else gaussian_pyramid(curr_img, cfg.klt_levels)
 
     n = pts.shape[0]
     if init_flow is None:
@@ -179,39 +213,81 @@ def lk_track(
         gx, gy = sobel_gradients(pimg)
         H, W = pimg.shape
 
-        win_xy = p_lvl[:, None, :] + offs[None, :, :]      # (N, w2, 2)
-        T = _bilinear(pimg, win_xy)
-        Ix = _bilinear(gx, win_xy)
-        Iy = _bilinear(gy, win_xy)
-        gxx = jnp.sum(Ix * Ix, axis=1)
-        gxy = jnp.sum(Ix * Iy, axis=1)
-        gyy = jnp.sum(Iy * Iy, axis=1)
-        det = gxx * gyy - gxy * gxy
-        w2 = offs.shape[0]
-        min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / w2
-        ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
-        inv00 = gyy / jnp.where(det > 1e-6, det, 1.0)
-        inv01 = -gxy / jnp.where(det > 1e-6, det, 1.0)
-        inv11 = gxx / jnp.where(det > 1e-6, det, 1.0)
+        def clip_corner(c):
+            return jnp.stack(
+                [jnp.clip(c[:, 0], 0, max(W - P, 0)), jnp.clip(c[:, 1], 0, max(H - P, 0))],
+                axis=-1,
+            )
 
-        def iter_body(_, fl):
-            cw = (p_lvl + fl)[:, None, :] + offs[None, :, :]
-            diff = _bilinear(cimg, cw) - T
-            bx = jnp.sum(diff * Ix, axis=1)
-            by = jnp.sum(diff * Iy, axis=1)
+        corner = clip_corner(jnp.round(p_lvl).astype(jnp.int32) - ph)
+        # current-image patch centred on the PREDICTED position, so prior-seeded
+        # flows far beyond the slack stay inside the slice
+        flow0 = flow
+        corner_c = clip_corner(jnp.round(p_lvl + flow0).astype(jnp.int32) - ph)
+        Tp = _slice_patches(pimg, corner, P)
+        Gxp = _slice_patches(gx, corner, P)
+        Gyp = _slice_patches(gy, corner, P)
+        Cp = _slice_patches(cimg, corner_c, P)
+
+        # template window (fixed per level): patch-space coords of the window taps
+        tx0 = p_lvl[:, 0] - corner[:, 0].astype(jnp.float32)
+        ty0 = p_lvl[:, 1] - corner[:, 1].astype(jnp.float32)
+        xs0 = tx0[:, None] + offs1d                         # (N, w)
+        ys0 = ty0[:, None] + offs1d
+        Wx0 = _tent_weights(xs0, P)
+        Wy0 = _tent_weights(ys0, P)
+        T = _sample_windows(Tp, Wy0, Wx0)
+        Ix = _sample_windows(Gxp, Wy0, Wx0)
+        Iy = _sample_windows(Gyp, Wy0, Wx0)
+
+        gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+        gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+        gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / (w * w)
+        ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
+        safe_det = jnp.where(det > 1e-6, det, 1.0)
+        inv00 = gyy / safe_det
+        inv01 = -gxy / safe_det
+        inv11 = gxx / safe_det
+
+        xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
+        ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
+
+        def iter_cond(carry):
+            it, _, biggest = carry
+            return (it < cfg.klt_iters) & (biggest > cfg.klt_eps)
+
+        def iter_body(carry):
+            it, fl, _ = carry
+            xs = xs0_c + fl[:, 0:1]
+            ys = ys0_c + fl[:, 1:2]
+            Cw = _sample_windows(Cp, _tent_weights(ys, P), _tent_weights(xs, P))
+            diff = Cw - T
+            bx = jnp.sum(diff * Ix, axis=(1, 2))
+            by = jnp.sum(diff * Iy, axis=(1, 2))
             dx = -(inv00 * bx + inv01 * by)
             dy = -(inv01 * bx + inv11 * by)
             step = jnp.stack([dx, dy], axis=-1)
-            return fl + jnp.where(ok_g[:, None], step, 0.0)
+            step = jnp.where(ok_g[:, None] & status[:, None], step, 0.0)
+            # cv::TermCriteria::EPS on the max step over still-active tracks
+            return it + 1, fl + step, jnp.max(jnp.abs(step))
 
-        flow = jax.lax.fori_loop(0, cfg.klt_iters, iter_body, flow)
+        _, flow, _ = jax.lax.while_loop(
+            iter_cond, iter_body, (0, flow, jnp.float32(jnp.inf))
+        )
 
         tracked = p_lvl + flow
         inside = (
             (tracked[:, 0] >= r) & (tracked[:, 0] < W - r - 1)
             & (tracked[:, 1] >= r) & (tracked[:, 1] < H - r - 1)
         )
-        status = status & inside & ok_g
+        # the window must also have stayed inside the sliced current patch
+        in_patch = (
+            (xs0_c[:, 0] + flow[:, 0] >= 0.0) & (xs0_c[:, -1] + flow[:, 0] <= P - 1)
+            & (ys0_c[:, 0] + flow[:, 1] >= 0.0) & (ys0_c[:, -1] + flow[:, 1] <= P - 1)
+        )
+        status = status & inside & ok_g & in_patch
         if lvl > 0:
             flow = flow * 2.0                              # upsample to next level
 
@@ -233,8 +309,10 @@ def lk_track_fb(
     back from its forward estimate and requiring a sub-pixel return is a
     strictly stronger filter that costs one extra (fully parallel) LK pass.
     """
-    curr_pts, st = lk_track(prev_img, curr_img, pts, mask, cfg, init_flow)
-    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, cfg,
+    prev_pyr = gaussian_pyramid(prev_img, cfg.klt_levels)
+    curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
+    curr_pts, st = lk_track(prev_pyr, curr_pyr, pts, mask, cfg, init_flow)
+    back_pts, st_b = lk_track(curr_pyr, prev_pyr, curr_pts, st, cfg,
                               None if init_flow is None else -init_flow)
     fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
     return curr_pts, st & st_b & (fb_err < cfg.klt_fb_threshold**2)

@@ -26,17 +26,29 @@ def pairwise_sqdist(query: jax.Array, cand: jax.Array) -> jax.Array:
     return jnp.maximum(q2 + c2 - 2.0 * cross, 0.0)
 
 
+def _min_k(d2: jax.Array, k: int, exact: bool) -> tuple[jax.Array, jax.Array]:
+    """Row-wise smallest-k.  On TPU ``approx_min_k`` hits the dedicated
+    PartialReduce hardware path — an order of magnitude faster than the
+    full-sort lowering of top_k for wide rows.  On CPU the approx path has no
+    hardware backing, so exact top_k is both faster and deterministic."""
+    if exact or jax.default_backend() == "cpu":
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+    return jax.lax.approx_min_k(d2, k, recall_target=0.95)
+
+
 def knn(
     query: jax.Array,       # (M, 3)
     cand: jax.Array,        # (N, 3)
     cand_mask: jax.Array,   # (N,) bool
     k: int,
-    block: int = 8192,
+    block: int = 32768,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest candidates per query: returns (sqdist (M,k), idx (M,k)).
 
     Invalid candidates never win (distance _INF).  If N <= block a single
-    fused matmul+top_k is used, else a lax.scan with a running top-k merge.
+    fused matmul+min_k is used, else a lax.scan with a running merge.
     """
     m = query.shape[0]
     n = cand.shape[0]
@@ -44,8 +56,7 @@ def knn(
     if n <= block:
         d2 = pairwise_sqdist(query, cand)
         d2 = jnp.where(cand_mask[None, :], d2, _INF)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        return _min_k(d2, k, exact)
 
     if n % block != 0:
         pad = block - n % block
@@ -61,11 +72,10 @@ def knn(
         cb, mb, b = inp
         d2 = pairwise_sqdist(query, cb)
         d2 = jnp.where(mb[None, :], d2, _INF)
-        ib = b * block + jnp.arange(block, dtype=jnp.int32)[None, :]
-        ib = jnp.broadcast_to(ib, (m, block))
-        cat_d = jnp.concatenate([best_d, d2], axis=1)
-        cat_i = jnp.concatenate([best_i, ib], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, k)
+        bd, bi = _min_k(d2, k, exact)
+        cat_d = jnp.concatenate([best_d, bd], axis=1)
+        cat_i = jnp.concatenate([best_i, b * block + bi], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, k)     # 2k wide: cheap either way
         return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
 
     init = (jnp.full((m, k), _INF), jnp.zeros((m, k), jnp.int32))
@@ -76,11 +86,35 @@ def knn(
 
 
 def nn1(
-    query: jax.Array, cand: jax.Array, cand_mask: jax.Array, block: int = 8192
+    query: jax.Array, cand: jax.Array, cand_mask: jax.Array, block: int = 32768
 ) -> tuple[jax.Array, jax.Array]:
     """Single nearest neighbour: (sqdist (M,), idx (M,))."""
-    d, i = knn(query, cand, cand_mask, 1, block)
+    d, i = knn(query, cand, cand_mask, 1, block, exact=True)
     return d[:, 0], i[:, 0]
+
+
+def compact_rows(
+    pts: jax.Array,      # (C, cap, D) per-group point buffers (valid prefix per group)
+    counts: jax.Array,   # (C,) valid prefix lengths
+    out_cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Concatenate per-group prefixes into one dense (out_cap, D) buffer.
+
+    Pure scatter (no sort): destination row = exclusive-cumsum offset + rank.
+    Used to strip the ~95% padding out of gathered submap windows before the
+    distance matmuls.
+    """
+    C, cap, D = pts.shape
+    offs = jnp.cumsum(counts) - counts                      # exclusive
+    col = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    dest = offs[:, None] + col
+    ok = (col < counts[:, None]) & (dest < out_cap)
+    dest = jnp.where(ok, dest, out_cap)
+    out = jnp.zeros((out_cap + 1, D), pts.dtype).at[dest.reshape(-1)].set(
+        jnp.where(ok.reshape(-1)[:, None], pts.reshape(-1, D), 0.0), mode="drop"
+    )[:out_cap]
+    total = jnp.minimum(jnp.sum(counts), out_cap)
+    return out, jnp.arange(out_cap) < total
 
 
 def masked_argmin(

@@ -75,6 +75,42 @@ def eigh3x3(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     return vals, vecs
 
 
+def solve_spd_small(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for a small SPD matrix (e.g. the 6x6 GN normal matrix)
+    with an unrolled Cholesky — pure scalar jnp ops that XLA fuses into the
+    surrounding kernel.  jnp.linalg.solve lowers to an LU custom call that
+    costs milliseconds per invocation on TPU for tiny systems; this is
+    effectively free."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     """Cramer's-rule solve for (..., 3, 3) @ x = (..., 3)."""
     det = jnp.linalg.det(A)

@@ -1,0 +1,126 @@
+"""Rotated-BRIEF descriptors + Hamming matching — the reference's default
+frontend (image_util.cpp: descriptor_type=ORB :280-339, BF/KNN matching with
+0.8 ratio test :347-438; selected by optical_flow_match=false).
+
+TPU formulation:
+  * orientation = intensity centroid over a 31x31 patch (the ORB moment
+    test), patches sliced once per keypoint;
+  * descriptor = 256 smoothed-point comparisons on a fixed random pattern
+    rotated by the orientation, sampled with the same interpolation-matmul
+    machinery as the KLT windows, packed into 8 uint32 lanes;
+  * matching = one XOR + popcount distance matrix (N0, N1, 8 words) on the
+    VPU, 2-NN + Lowe ratio entirely vectorised.
+
+The sampling pattern is a seeded Gaussian BRIEF pattern (self-contained;
+OpenCV's learned bit_pattern_31 is an external artifact, and the ratio-test
+matcher dominates matching quality at these feature counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vloam_tpu.config import VisualConfig
+from vloam_tpu.ops.image_ops import _sep_conv, _slice_patches
+
+PATCH = 32          # descriptor patch (covers the 31x31 ORB window)
+N_BITS = 256
+
+
+def _pattern() -> np.ndarray:
+    """(256, 4) sampling pairs (x1, y1, x2, y2), Gaussian around the centre
+    (sigma = patch/5, the classic BRIEF-II choice), clipped to +-13 so any
+    rotation stays inside the 31x31 window."""
+    rng = np.random.default_rng(1234)
+    p = rng.normal(scale=PATCH / 5.0, size=(N_BITS, 4))
+    return np.clip(p, -13.0, 13.0).astype(np.float32)
+
+
+_PAT = _pattern()
+
+
+def orb_descriptors(
+    img: jax.Array,          # (H, W) float32
+    pts: jax.Array,          # (N, 2)
+    mask: jax.Array,         # (N,)
+    cfg: VisualConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (descriptors (N, 8) uint32, valid (N,)).
+
+    Keypoints whose 32x32 patch leaves the image are invalidated (OpenCV
+    drops border keypoints the same way)."""
+    H, W = img.shape
+    # BRIEF samples a smoothed image (ORB: 7x7 box-ish blur)
+    g = jnp.array([1.0, 2.0, 3.0, 2.0, 1.0], jnp.float32)
+    g = g / jnp.sum(g)
+    smooth = _sep_conv(img, g, g)
+
+    half = PATCH // 2
+    corner = jnp.round(pts).astype(jnp.int32) - half
+    inside = (
+        (corner[:, 0] >= 0) & (corner[:, 0] <= W - PATCH)
+        & (corner[:, 1] >= 0) & (corner[:, 1] <= H - PATCH)
+    )
+    corner = jnp.stack(
+        [jnp.clip(corner[:, 0], 0, W - PATCH), jnp.clip(corner[:, 1], 0, H - PATCH)], axis=-1
+    )
+    patches = _slice_patches(smooth, corner, PATCH)          # (N, 32, 32)
+
+    # orientation: intensity centroid moments over the patch
+    ax = jnp.arange(PATCH, dtype=jnp.float32) - (half - 0.5)
+    m10 = jnp.einsum("nyx,x->n", patches, ax)
+    m01 = jnp.einsum("nyx,y->n", patches, ax)
+    theta = jnp.arctan2(m01, m10)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+
+    # rotate the pattern per keypoint: (N, 256, 2) coords for both endpoints
+    pat = jnp.asarray(_PAT)
+    def rot(px, py):
+        x = c[:, None] * px[None, :] - s[:, None] * py[None, :]
+        y = s[:, None] * px[None, :] + c[:, None] * py[None, :]
+        return x + (half - 0.5), y + (half - 0.5)            # patch coords
+
+    x1, y1 = rot(pat[:, 0], pat[:, 1])
+    x2, y2 = rot(pat[:, 2], pat[:, 3])
+
+    def sample(xs, ys):
+        # nearest-neighbour sampling of the smoothed patch (ORB uses the
+        # pre-smoothed image with integer taps)
+        xi = jnp.clip(jnp.round(xs), 0, PATCH - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(ys), 0, PATCH - 1).astype(jnp.int32)
+        flat = patches.reshape(patches.shape[0], -1)
+        return jnp.take_along_axis(flat, yi * PATCH + xi, axis=1)
+
+    bits = sample(x1, y1) < sample(x2, y2)                   # (N, 256)
+    words = bits.reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    desc = jnp.sum(jnp.where(words, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
+    return desc, mask & inside
+
+
+def _popcount32(x: jax.Array) -> jax.Array:
+    """Vectorised 32-bit population count (Hacker's Delight 5-2)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+def match_descriptors(
+    desc0: jax.Array, mask0: jax.Array,     # query (prev frame)
+    desc1: jax.Array, mask1: jax.Array,     # train (curr frame)
+    ratio: float = 0.8,
+) -> tuple[jax.Array, jax.Array]:
+    """BF 2-NN + Lowe ratio test (image_util.cpp:407-430).
+
+    Returns (match_idx (N0,) into desc1, valid (N0,)).
+    """
+    x = desc0[:, None, :] ^ desc1[None, :, :]                # (N0, N1, 8)
+    d = jnp.sum(_popcount32(x), axis=-1).astype(jnp.float32)
+    d = jnp.where(mask1[None, :], d, 1e9)
+    neg, idx = jax.lax.top_k(-d, 2)
+    best, second = -neg[:, 0], -neg[:, 1]
+    valid = mask0 & (best < ratio * second) & (best < 256.0)
+    return idx[:, 0], valid

@@ -114,25 +114,18 @@ def organize_scan(
     ring, mask = assign_rings(points, mask, cfg)
     rel = relative_times(points, mask)
     w = ring.astype(jnp.float32) + cfg.scan_period * rel
+    pts4 = jnp.concatenate([points[:, :3], w[:, None]], axis=1)
 
-    # Stable sort by ring groups points per ring in original order.
-    ring_key = jnp.where(mask, ring, cfg.n_scans)  # invalid last
-    order = jnp.argsort(ring_key, stable=True)
-    ring_s = jnp.take(ring_key, order)
-    pts_s = jnp.take(jnp.concatenate([points[:, :3], w[:, None]], axis=1), order, axis=0)
-    msk_s = jnp.take(mask, order)
+    # Rank within ring = number of earlier same-ring points; a one-hot cumsum
+    # keeps scan order without any sort (the cloud is already azimuth-ordered).
+    oh = (ring[:, None] == jnp.arange(cfg.n_scans, dtype=jnp.int32)[None, :]) & mask[:, None]
+    before = jnp.cumsum(oh.astype(jnp.int32), axis=0) - oh.astype(jnp.int32)
+    rank = jnp.take_along_axis(before, jnp.clip(ring, 0, cfg.n_scans - 1)[:, None], axis=1)[:, 0]
 
-    # Rank within ring = index - start-of-ring.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), ring_s[1:] != ring_s[:-1]])
-    start_idx = jnp.where(is_start, idx, 0)
-    ring_start = jax.lax.cummax(start_idx)
-    rank = idx - ring_start
-
-    ok = msk_s & (rank < cfg.ring_cap)
-    flat_idx = jnp.where(ok, ring_s * cfg.ring_cap + rank, cfg.n_scans * cfg.ring_cap)
+    ok = mask & (rank < cfg.ring_cap)
+    flat_idx = jnp.where(ok, ring * cfg.ring_cap + rank, cfg.n_scans * cfg.ring_cap)
     grid = jnp.zeros((cfg.n_scans * cfg.ring_cap + 1, 4), jnp.float32).at[flat_idx].set(
-        jnp.where(ok[:, None], pts_s, 0.0), mode="drop"
+        jnp.where(ok[:, None], pts4, 0.0), mode="drop"
     )[:-1].reshape(cfg.n_scans, cfg.ring_cap, 4)
     gmask = jnp.zeros((cfg.n_scans * cfg.ring_cap + 1,), bool).at[flat_idx].set(ok, mode="drop")[:-1]
     gmask = gmask.reshape(cfg.n_scans, cfg.ring_cap)
@@ -212,51 +205,79 @@ def extract_features(
     sector_oh = sector[:, None, :] == jnp.arange(S, dtype=jnp.int32)[None, :, None]  # (R, S, C)
 
     neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
-
-    def pick_round(state, maximize, threshold_fn, n_rounds):
-        """Run n_rounds of parallel per-sector greedy pick + suppression."""
-        def body(t, carry):
-            suppressed, slots, slot_valid = carry
-            elig = selectable & ~suppressed & threshold_fn(curv)
-            elig_s = elig[:, None, :] & sector_oh                      # (R,S,C)
-            score = jnp.where(elig_s, curv[:, None, :], neg_inf if maximize else pos_inf)
-            if maximize:
-                i_sel = jnp.argmax(score, axis=-1)                     # (R,S)
-                has = jnp.take_along_axis(score, i_sel[..., None], -1)[..., 0] > neg_inf
-            else:
-                i_sel = jnp.argmin(score, axis=-1)
-                has = jnp.take_along_axis(score, i_sel[..., None], -1)[..., 0] < pos_inf
-
-            f_sel = jnp.take_along_axis(fwd, i_sel, axis=1)            # (R,S) gather per ring
-            b_sel = jnp.take_along_axis(bwd, i_sel, axis=1)
-            within = (col[:, None, :] >= (i_sel - b_sel)[..., None]) & (
-                col[:, None, :] <= (i_sel + f_sel)[..., None]
-            )
-            picked_cell = col[:, None, :] == i_sel[..., None]
-            new_sup = jnp.any((within | picked_cell) & has[..., None], axis=1)
-            slots = slots.at[:, :, t].set(i_sel)
-            slot_valid = slot_valid.at[:, :, t].set(has)
-            return suppressed | new_sup, slots, slot_valid
-
-        suppressed = state
-        slots = jnp.zeros((R, S, n_rounds), jnp.int32)
-        slot_valid = jnp.zeros((R, S, n_rounds), bool)
-        suppressed, slots, slot_valid = jax.lax.fori_loop(
-            0, n_rounds, lambda t, c: body(t, c), (suppressed, slots, slot_valid)
-        )
-        return suppressed, slots, slot_valid
-
-    suppressed0 = jnp.zeros((R, C), bool)
     edge_thr = cfg.edge_threshold
     surf_thr = cfg.surf_threshold
 
-    suppressed1, edge_slots, edge_valid = pick_round(
-        suppressed0, True, lambda c: c > edge_thr, cfg.max_less_sharp
+    # --- candidate pre-reduction -------------------------------------------
+    # At most 20 edge + 4 flat picks happen per sector and each pick suppresses
+    # <= 11 neighbours, so the greedy loop only ever touches the ~top candidates
+    # of each sector.  Reducing (R, S, C) to (R*S, NCAND) first makes each of
+    # the 24 greedy rounds ~30x cheaper.  (Deviation from the full-row loop:
+    # suppression no longer crosses sector boundaries — a +-5-point edge
+    # effect, same order as the reference's sector-ordering asymmetry.)
+    NCAND = 64
+    RS = R * S
+    ring_row = jnp.repeat(jnp.arange(R, dtype=jnp.int32), S)   # (RS,)
+
+    score_e = jnp.where(
+        (selectable & (curv > edge_thr))[:, None, :] & sector_oh, curv[:, None, :], neg_inf
+    ).reshape(RS, C)
+    ce_val, ce_col = jax.lax.top_k(score_e, NCAND)             # (RS, 64) descending curvature
+    score_f = jnp.where(
+        (selectable & (curv < surf_thr))[:, None, :] & sector_oh, -curv[:, None, :], neg_inf
+    ).reshape(RS, C)
+    cf_val, cf_col = jax.lax.top_k(score_f, NCAND)             # ascending curvature
+
+    def cand_reach(cols):
+        f = fwd[ring_row[:, None], cols]
+        b = bwd[ring_row[:, None], cols]
+        return f, b
+
+    ce_f, ce_b = cand_reach(ce_col)
+    cf_f, cf_b = cand_reach(cf_col)
+
+    def greedy(vals, cols, fr, br, n_rounds):
+        """n_rounds of pick-best + suppress over the candidate axis."""
+        def body(t, carry):
+            sup, sel_col, sel_val = carry
+            score = jnp.where(sup, neg_inf, vals)
+            pick = jnp.argmax(score, axis=-1)                  # (RS,)
+            has = jnp.take_along_axis(score, pick[:, None], 1)[:, 0] > neg_inf
+            col_sel = jnp.take_along_axis(cols, pick[:, None], 1)[:, 0]
+            f_sel = jnp.take_along_axis(fr, pick[:, None], 1)[:, 0]
+            b_sel = jnp.take_along_axis(br, pick[:, None], 1)[:, 0]
+            within = (cols >= (col_sel - b_sel)[:, None]) & (cols <= (col_sel + f_sel)[:, None])
+            within = within | (cols == col_sel[:, None])
+            sup = sup | (within & has[:, None])
+            sel_col = sel_col.at[:, t].set(col_sel)
+            sel_val = sel_val.at[:, t].set(has)
+            return sup, sel_col, sel_val
+
+        sup0 = jnp.zeros((RS, NCAND), bool)
+        return jax.lax.fori_loop(
+            0, n_rounds, body,
+            (sup0, jnp.zeros((RS, n_rounds), jnp.int32), jnp.zeros((RS, n_rounds), bool)),
+        )
+
+    _, e_col, e_val = greedy(ce_val, ce_col, ce_f, ce_b, cfg.max_less_sharp)
+
+    # edge picks suppress flat candidates within their reach (the shared
+    # cloudNeighborPicked array of the reference)
+    e_fr = fwd[ring_row[:, None], e_col]
+    e_br = bwd[ring_row[:, None], e_col]
+    cross = (
+        (cf_col[:, :, None] >= (e_col - e_br)[:, None, :])
+        & (cf_col[:, :, None] <= (e_col + e_fr)[:, None, :])
+        & e_val[:, None, :]
     )
-    _, flat_slots, flat_valid = pick_round(
-        suppressed1, False, lambda c: c < surf_thr, cfg.max_flat
-    )
+    cf_val = jnp.where(jnp.any(cross, axis=-1), neg_inf, cf_val)
+
+    _, f_col, f_val = greedy(cf_val, cf_col, cf_f, cf_b, cfg.max_flat)
+
+    edge_slots = e_col.reshape(R, S, cfg.max_less_sharp)
+    edge_valid = e_val.reshape(R, S, cfg.max_less_sharp)
+    flat_slots = f_col.reshape(R, S, cfg.max_flat)
+    flat_valid = f_val.reshape(R, S, cfg.max_flat)
 
     def gather_slots(slots, valid, k):
         idx = slots[:, :, :k].reshape(R, -1)                 # (R, S*k)
@@ -275,13 +296,19 @@ def extract_features(
         jnp.arange(R)[:, None], jnp.where(edge_valid, edge_slots, C).reshape(R, -1)
     ].set(True)[:, :C]
     lf_mask = gmask & ~edge_lab
-    ring_id = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
-    less_flat, less_flat_mask = voxel_downsample(
-        grid.reshape(-1, 4),
-        lf_mask.reshape(-1),
-        cfg.less_flat_voxel,
-        cfg.less_flat_cap,
-        group_key=ring_id.reshape(-1),
+    # Per-ring batched downsample (PCL is called once per ring too,
+    # scan_registration.cpp:496-503): 64 short sorted rows beat one global
+    # 131k sort, and the ring grouping comes free.
+    ring_out_cap = min(C, max(cfg.less_flat_cap // R, 512))
+    lf_pts, lf_m = jax.vmap(
+        lambda g, m: voxel_downsample(
+            g, m, cfg.less_flat_voxel, ring_out_cap, max_grid=1024, presorted=True
+        )
+    )(grid, lf_mask)
+    from vloam_tpu.ops.knn import compact_rows
+
+    less_flat, less_flat_mask = compact_rows(
+        lf_pts, jnp.sum(lf_m, axis=1).astype(jnp.int32), cfg.less_flat_cap
     )
 
     return ScanFeatures(

@@ -30,11 +30,17 @@ def voxel_downsample(
     cap: int,
     group_key: jax.Array | None = None,  # (N,) int32 — points in different groups never merge
     max_grid: int = 1024,   # per-axis voxel-grid bound; (max coord span)/leaf must fit
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out_points (cap, D), out_mask (cap,)).
 
     Centroid semantics match pcl::VoxelGrid.  If the number of occupied
     voxels exceeds ``cap`` the surplus voxels (highest keys) are dropped.
+
+    ``presorted=True`` skips the sort and merges consecutive same-voxel runs
+    instead — for scan-ordered lidar points (azimuth sweeps) this is PCL
+    semantics except that a voxel revisited later in the sweep keeps a second
+    centroid (rare, and harmless for feature clouds: slightly denser output).
     """
     n = points.shape[0]
     xyz = points[..., :3]
@@ -47,17 +53,29 @@ def voxel_downsample(
     key = (ijk[:, 0] + max_grid * ijk[:, 1] + max_grid * max_grid * ijk[:, 2]).astype(jnp.int32)
     key = jnp.where(mask, key, INT_MAX)
 
-    if group_key is None:
-        group_key = jnp.zeros((n,), jnp.int32)
-    group_key = jnp.where(mask, group_key, INT_MAX)
-
-    # Sort by (group, voxel) — two stable passes.
-    order = jnp.argsort(key, stable=True)
-    order = jnp.take(order, jnp.argsort(jnp.take(group_key, order), stable=True))
-    key_s = jnp.take(key, order)
-    grp_s = jnp.take(group_key, order)
-    pts_s = jnp.take(points, order, axis=0)
-    msk_s = jnp.take(mask, order)
+    if presorted:
+        # run-length merge in given order; invalid rows form their own runs
+        # but are masked out of the output by msk_s
+        key_s = key
+        grp_s = jnp.zeros_like(key) if group_key is None else group_key
+        order = None
+    elif group_key is None:
+        # single stable pass
+        order = jnp.argsort(key, stable=True)
+        key_s = jnp.take(key, order)
+        grp_s = jnp.zeros_like(key_s)
+    else:
+        group_key = jnp.where(mask, group_key, INT_MAX)
+        # Sort by (group, voxel) — two stable passes.
+        order = jnp.argsort(key, stable=True)
+        order = jnp.take(order, jnp.argsort(jnp.take(group_key, order), stable=True))
+        key_s = jnp.take(key, order)
+        grp_s = jnp.take(group_key, order)
+    if order is None:
+        pts_s, msk_s = points, mask
+    else:
+        pts_s = jnp.take(points, order, axis=0)
+        msk_s = jnp.take(mask, order)
 
     new_seg = jnp.concatenate(
         [jnp.ones((1,), bool), (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])]

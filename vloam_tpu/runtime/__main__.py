@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--lidar-only", action="store_true", help="skip VO (A-LOAM mode)")
     p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
     p.add_argument("--json", action="store_true", help="print metrics as one JSON line")
+    p.add_argument("--checkpoint-dir", default=None, help="save pipeline state snapshots here")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="snapshot period in frames")
+    p.add_argument("--resume", default=None, help="checkpoint path to resume from")
     args = p.parse_args()
 
     from vloam_tpu.config import hdl32, kitti_hdl64, vlp16
@@ -60,7 +63,8 @@ def main() -> None:
         else:
             seq = OdometrySequence(args.root, args.seq, with_images=not args.lidar_only)
         res = run_kitti(cfg, seq, out_dir=args.out, start=args.start, end=args.end,
-                        verbose=not args.json)
+                        verbose=not args.json, checkpoint_dir=args.checkpoint_dir,
+                        checkpoint_every=args.checkpoint_every, resume=args.resume)
     if args.json:
         print(json.dumps(res))
 

@@ -54,12 +54,21 @@ def pad_image(img: np.ndarray, cfg: VloamConfig) -> np.ndarray:
 class VloamDriver:
     """Owns the jitted step, the host-side f64 pose chains, and exporters."""
 
-    def __init__(self, cfg: VloamConfig, ext: fg.Extrinsics, out_dir: str | None = None):
+    def __init__(
+        self,
+        cfg: VloamConfig,
+        ext: fg.Extrinsics,
+        out_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+    ):
         self.cfg = cfg
         self.ext = ext
         self.state = init_vloam_state(cfg)
         self.timer = StageTimer()
         self.count = 0
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self._step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg))
         self.writers = {}
         if out_dir is not None:
@@ -70,6 +79,19 @@ class VloamDriver:
                 "lo": TrajectoryWriter(os.path.join(out_dir, f"LO{d}.txt")),
                 "mo": TrajectoryWriter(os.path.join(out_dir, f"MO{d}.txt")),
             }
+
+    def save_checkpoint(self) -> None:
+        from vloam_tpu.utils.checkpoint import save_checkpoint
+
+        path = os.path.join(self.checkpoint_dir, f"ckpt_{self.count:06d}")
+        save_checkpoint(path, self.state, self.count)
+
+    def restore_checkpoint(self, path: str) -> int:
+        """Restore state from a checkpoint dir; returns the frame index."""
+        from vloam_tpu.utils.checkpoint import load_checkpoint
+
+        self.state, self.count = load_checkpoint(path, self.state)
+        return self.count
 
     def process(self, image: np.ndarray | None, cloud: np.ndarray) -> VloamOutputs:
         cfg = self.cfg
@@ -88,6 +110,8 @@ class VloamDriver:
             self.writers["lo"].append(out.lo_pose)
             self.writers["mo"].append(out.mo_pose)
         self.count += 1
+        if self.checkpoint_dir and self.checkpoint_every and self.count % self.checkpoint_every == 0:
+            self.save_checkpoint()
         return out
 
     def close(self):
@@ -169,19 +193,54 @@ def run_kitti(
     start: int = 0,
     end: int | None = None,
     verbose: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: str | None = None,
 ):
-    """Run the pipeline over a real KITTI sequence (raw or odometry layout)."""
+    """Run the pipeline over a real KITTI sequence (raw or odometry layout).
+
+    Uses the native C++ prefetcher (vloam_tpu.runtime.native) when built so
+    disk IO + PNG decode overlap device compute; falls back to the NumPy
+    loaders otherwise."""
+    from vloam_tpu.runtime import native
+
     ext = extrinsics_from_calib(sequence.calib)
-    driver = VloamDriver(cfg, ext, out_dir)
+    driver = VloamDriver(cfg, ext, out_dir,
+                         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+    if resume:
+        start = driver.restore_checkpoint(resume)
     end = len(sequence) if end is None else min(end, len(sequence))
     t_per_frame = []
-    for i in range(start, end):
-        f = sequence.frame(i)
+
+    def frames():
+        if native.available():
+            import os
+
+            bins = [os.path.join(sequence.velo_dir, f) for f in sequence.files[start:end]]
+            imgs = None
+            if sequence.with_images:
+                imgs = [
+                    os.path.join(sequence.img_dir, os.path.splitext(f)[0] + ".png")
+                    for f in sequence.files[start:end]
+                ]
+            pf = native.NativePrefetcher(
+                bins, imgs, cfg.scan.max_points,
+                cfg.visual.img_height, cfg.visual.img_width,
+            )
+            for cloud, n, img in pf:
+                yield img, cloud[:n]
+            pf.close()
+        else:
+            for i in range(start, end):
+                f = sequence.frame(i)
+                yield f.image, f.cloud
+
+    for i, (img, cloud) in enumerate(frames()):
         t0 = time.perf_counter()
-        driver.process(f.image, f.cloud)
+        driver.process(img, cloud)
         t_per_frame.append(time.perf_counter() - t0)
-        if verbose and (i - start) % 50 == 0:
-            print(f"frame {i}  {t_per_frame[-1]*1e3:.1f} ms")
+        if verbose and i % 50 == 0:
+            print(f"frame {start + i}  {t_per_frame[-1]*1e3:.1f} ms")
     driver.close()
     if verbose:
         print(driver.timer.summary())

@@ -1,0 +1,129 @@
+"""ctypes bindings for the native host runtime (native/libvloam_host.so).
+
+Falls back to the pure-NumPy loaders in vloam_tpu.data.kitti when the shared
+library hasn't been built (native/build.sh).  The prefetcher overlaps disk
+IO + decode with device compute — the role rosbag replay + message_filters
+played in the reference (vloam_main_node.cpp:226-232, :45-47).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvloam_host.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.vh_load_bin.restype = ctypes.c_int
+    lib.vh_load_bin.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.vh_load_png_gray.restype = ctypes.c_int
+    lib.vh_load_png_gray.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vh_prefetcher_create.restype = ctypes.c_void_p
+    lib.vh_prefetcher_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vh_prefetcher_next.restype = ctypes.c_int
+    lib.vh_prefetcher_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vh_prefetcher_len.restype = ctypes.c_int
+    lib.vh_prefetcher_len.argtypes = [ctypes.c_void_p]
+    lib.vh_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_bin(path: str, max_points: int) -> tuple[np.ndarray, int]:
+    lib = _load()
+    out = np.zeros((max_points, 3), np.float32)
+    n = lib.vh_load_bin(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_points
+    )
+    if n < 0:
+        raise IOError(f"vh_load_bin failed for {path}")
+    return out, n
+
+
+def load_png_gray(path: str, height: int, width: int) -> np.ndarray:
+    lib = _load()
+    out = np.zeros((height, width), np.float32)
+    rc = lib.vh_load_png_gray(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), height, width
+    )
+    if rc != 0:
+        raise IOError(f"vh_load_png_gray failed ({rc}) for {path}")
+    return out
+
+
+class NativePrefetcher:
+    """Ordered async frame stream: yields (cloud (max_points,3), n_points, image|None)."""
+
+    def __init__(
+        self,
+        bin_paths: list[str],
+        img_paths: list[str] | None,
+        max_points: int,
+        height: int = 0,
+        width: int = 0,
+        depth: int = 3,
+        n_threads: int = 2,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library not built (run native/build.sh)")
+        self._lib = lib
+        self.max_points = max_points
+        self.height, self.width = height, width
+        self.with_images = img_paths is not None
+        imgs = "\n".join(img_paths) if img_paths is not None else ""
+        self._h = lib.vh_prefetcher_create(
+            "\n".join(bin_paths).encode(), imgs.encode(),
+            max_points, height, width, depth, n_threads,
+        )
+        self._len = lib.vh_prefetcher_len(self._h)
+
+    def __len__(self):
+        return self._len
+
+    def __iter__(self):
+        cloud = np.zeros((self.max_points, 3), np.float32)
+        img = (
+            np.zeros((self.height, self.width), np.float32) if self.with_images else None
+        )
+        for _ in range(self._len):
+            rc = self._lib.vh_prefetcher_next(
+                self._h,
+                cloud.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if img is not None else None,
+            )
+            if rc < 0:
+                raise IOError(f"prefetcher frame failed rc={rc}")
+            yield cloud.copy(), rc, (img.copy() if img is not None else None)
+
+    def close(self):
+        if self._h:
+            self._lib.vh_prefetcher_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
