@@ -111,14 +111,19 @@ class VisualConfig:
     # KLT (image_util.cpp:526,562-570)
     optical_flow_match: bool = True   # our default frontend: pyramidal LK (TPU-friendly)
     klt_window: int = 15
-    klt_levels: int = 2               # maxLevel=2 => 3 pyramid levels in OpenCV terms
+    klt_levels: int = 2               # maxLevel=2 => 3 pyramid levels in OpenCV terms;
+                                      # needed for prior-less frames (sequence start)
     klt_iters: int = 10
     klt_eps: float = 0.03
     klt_min_eig: float = 1e-4
     klt_fb_check: bool = True         # forward-backward track validation (ours; ref has none)
     klt_fb_threshold: float = 1.0     # max forward-backward return error (px)
-    klt_patch_slack: int = 12         # extra patch margin so per-level iterations
-                                      # stay inside one contiguous slice (TPU layout)
+    klt_max_err: float = 12.0         # max mean |I1-I0| over the converged window
+                                      # (photometric gate; catches textureless windows
+                                      # the seeded backward pass cannot)
+    klt_patch_slack: int = 8          # extra patch margin so per-level iterations
+                                      # stay inside one contiguous slice; 8 makes the
+                                      # patch 2*(7+8+1)=32 px — lane-aligned on TPU
     # depth buckets (point_cloud_util.cpp:34,256-487)
     downsample_grid: int = 5
     query_radius: int = 2

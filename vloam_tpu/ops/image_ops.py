@@ -25,19 +25,39 @@ import jax.numpy as jnp
 from vloam_tpu.config import VisualConfig
 
 
-def _sep_conv(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
-    """Separable 2D convolution (SAME padding) via two 1D convs."""
-    img4 = img[None, None]
-    out = jax.lax.conv_general_dilated(
-        img4, ky[None, None, :, None], (1, 1), "SAME")
-    out = jax.lax.conv_general_dilated(
-        out, kx[None, None, None, :], (1, 1), "SAME")
-    return out[0, 0]
+def _conv1d_shift(img: jax.Array, k: jax.Array, axis: int) -> jax.Array:
+    """1D SAME convolution along ``axis`` as a shift-and-add.
+
+    A (1,1,H,W) conv_general_dilated is pathologically slow on TPU (no channel
+    parallelism for the MXU conv path); k-1 padded slices + fused multiply-adds
+    run as ONE VPU pass over the image instead.
+    """
+    r = len(k) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    padded = jnp.pad(img, pad)
+    n = img.shape[axis]
+    out = None
+    for i, ki in enumerate(k):
+        sl = jax.lax.slice_in_dim(padded, i, i + n, axis=axis)
+        term = ki * sl
+        out = term if out is None else out + term
+    return out
+
+
+def _sep_conv(img: jax.Array, kx, ky) -> jax.Array:
+    """Separable 2D convolution (SAME padding) via two shift-and-add passes.
+
+    ``kx``/``ky`` must be static Python sequences of floats (the taps are
+    baked into the fused elementwise program).
+    """
+    out = _conv1d_shift(img, list(ky), 0)
+    return _conv1d_shift(out, list(kx), 1)
 
 
 def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
-    smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32) / 4.0
-    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32) / 2.0
+    smooth = [0.25, 0.5, 0.25]
+    diff = [-0.5, 0.0, 0.5]
     ix = _sep_conv(img, diff, smooth)
     iy = _sep_conv(img, smooth, diff)
     return ix, iy
@@ -46,7 +66,7 @@ def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
 def shi_tomasi_response(img: jax.Array, block_size: int = 5) -> jax.Array:
     """Min-eigenvalue corner response with a block_size box window."""
     ix, iy = sobel_gradients(img)
-    box = jnp.ones((block_size,), jnp.float32) / block_size
+    box = [1.0 / block_size] * block_size
     sxx = _sep_conv(ix * ix, box, box)
     syy = _sep_conv(iy * iy, box, box)
     sxy = _sep_conv(ix * iy, box, box)
@@ -62,12 +82,21 @@ def detect_corners(
     resp = shi_tomasi_response(img, cfg.block_size)
     H, W = resp.shape
 
-    # local-max suppression over a (2r+1)^2 window, r from minDistance
+    # local-max suppression over a (2r+1)^2 window, r from minDistance;
+    # separable shift-max (two fused VPU passes) instead of reduce_window
     r = max(int(cfg.min_distance // 2), 1)
-    win = 2 * r + 1
-    local_max = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME"
-    )
+
+    def _shift_max(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        p = jnp.pad(x, pad, constant_values=-jnp.inf)
+        n = x.shape[axis]
+        out = x
+        for i in range(2 * r + 1):
+            out = jnp.maximum(out, jax.lax.slice_in_dim(p, i, i + n, axis=axis))
+        return out
+
+    local_max = _shift_max(_shift_max(resp, 0), 1)
     is_peak = (resp >= local_max) & (resp >= cfg.quality_level * jnp.max(resp))
 
     # keep a safety border (gradients/window invalid at edges)
@@ -113,7 +142,7 @@ def bucket_nms(
 
 def gaussian_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
     """[level0 (full res), ..., levelN] with 5-tap Gaussian + 2x decimation."""
-    g = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+    g = [1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16]
     pyr = [img]
     for _ in range(levels):
         blurred = _sep_conv(pyr[-1], g, g)
@@ -170,6 +199,16 @@ def _slice_patches(img: jax.Array, corner: jax.Array, P: int) -> jax.Array:
     return jax.vmap(one)(corner)
 
 
+def _slice_patches_multi(imgs: jax.Array, corner: jax.Array, P: int) -> jax.Array:
+    """(C,H,W) stacked images + (N,2) corners -> (N,C,P,P) in ONE gather."""
+    C = imgs.shape[0]
+
+    def one(c):
+        return jax.lax.dynamic_slice(imgs, (0, c[1], c[0]), (C, P, P))
+
+    return jax.vmap(one)(corner)
+
+
 def lk_track(
     prev_img: jax.Array,
     curr_img: jax.Array,
@@ -177,8 +216,9 @@ def lk_track(
     mask: jax.Array,         # (N,)
     cfg: VisualConfig,
     init_flow: jax.Array | None = None,   # (N, 2) predicted flow (OPTFLOW_USE_INITIAL_FLOW)
-) -> tuple[jax.Array, jax.Array]:
-    """Pyramidal Lucas-Kanade: returns (curr_pts (N, 2), status (N,)).
+    return_err: bool = False,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array]:
+    """Pyramidal Lucas-Kanade: returns (curr_pts (N, 2), status (N,)[, err (N,)]).
 
     Matches cv::calcOpticalFlowPyrLK semantics: per level, iterate
     d = G^-1 b with G the template-window structure tensor; status drops
@@ -224,10 +264,18 @@ def lk_track(
         # flows far beyond the slack stay inside the slice
         flow0 = flow
         corner_c = clip_corner(jnp.round(p_lvl + flow0).astype(jnp.int32) - ph)
-        Tp = _slice_patches(pimg, corner, P)
-        Gxp = _slice_patches(gx, corner, P)
-        Gyp = _slice_patches(gy, corner, P)
-        Cp = _slice_patches(cimg, corner_c, P)
+
+        # ONE vmapped kernel for all four patch slices (gather launches are
+        # the dominant cost of the whole tracker — batch them)
+        stack3 = jnp.stack([pimg, gx, gy])
+
+        def slices(ci, cc):
+            tgg = jax.lax.dynamic_slice(stack3, (0, ci[1], ci[0]), (3, P, P))
+            cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
+            return tgg, cp
+
+        TGG, Cp = jax.vmap(slices)(corner, corner_c)
+        Tp, Gxp, Gyp = TGG[:, 0], TGG[:, 1], TGG[:, 2]
 
         # template window (fixed per level): patch-space coords of the window taps
         tx0 = p_lvl[:, 0] - corner[:, 0].astype(jnp.float32)
@@ -254,12 +302,13 @@ def lk_track(
         xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
         ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
 
-        def iter_cond(carry):
-            it, _, biggest = carry
-            return (it < cfg.klt_iters) & (biggest > cfg.klt_eps)
-
-        def iter_body(carry):
-            it, fl, _ = carry
+        # cv::TermCriteria::EPS becomes a PER-FEATURE freeze mask inside a
+        # statically unrolled loop: a while_loop's global-max convergence
+        # scalar serialises the device (each tiny iteration round-trips the
+        # condition), whereas the unrolled form lets XLA fuse and pipeline all
+        # klt_iters iterations.  Converged features simply take zero steps.
+        def iter_body(carry, _):
+            fl, active = carry
             xs = xs0_c + fl[:, 0:1]
             ys = ys0_c + fl[:, 1:2]
             Cw = _sample_windows(Cp, _tent_weights(ys, P), _tent_weights(xs, P))
@@ -269,12 +318,13 @@ def lk_track(
             dx = -(inv00 * bx + inv01 * by)
             dy = -(inv01 * bx + inv11 * by)
             step = jnp.stack([dx, dy], axis=-1)
-            step = jnp.where(ok_g[:, None] & status[:, None], step, 0.0)
-            # cv::TermCriteria::EPS on the max step over still-active tracks
-            return it + 1, fl + step, jnp.max(jnp.abs(step))
+            step = jnp.where((ok_g & status & active)[:, None], step, 0.0)
+            still = jnp.max(jnp.abs(step), axis=-1) > cfg.klt_eps
+            return (fl + step, active & still), None
 
-        _, flow, _ = jax.lax.while_loop(
-            iter_cond, iter_body, (0, flow, jnp.float32(jnp.inf))
+        (flow, _), _ = jax.lax.scan(
+            iter_body, (flow, jnp.ones((n,), bool)), None,
+            length=cfg.klt_iters, unroll=True,
         )
 
         tracked = p_lvl + flow
@@ -290,7 +340,16 @@ def lk_track(
         status = status & inside & ok_g & in_patch
         if lvl > 0:
             flow = flow * 2.0                              # upsample to next level
+        else:
+            # photometric residual at convergence (cv::calcOpticalFlowPyrLK's
+            # ``err`` output): mean |I1(x+d) - I0(x)| over the window
+            Cw = _sample_windows(
+                Cp, _tent_weights(ys0_c + flow[:, 1:2], P), _tent_weights(xs0_c + flow[:, 0:1], P)
+            )
+            err = jnp.mean(jnp.abs(Cw - T), axis=(1, 2))
 
+    if return_err:
+        return pts + flow, status, err
     return pts + flow, status
 
 
@@ -309,10 +368,21 @@ def lk_track_fb(
     back from its forward estimate and requiring a sub-pixel return is a
     strictly stronger filter that costs one extra (fully parallel) LK pass.
     """
+    import dataclasses
+
     prev_pyr = gaussian_pyramid(prev_img, cfg.klt_levels)
     curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
-    curr_pts, st = lk_track(prev_pyr, curr_pyr, pts, mask, cfg, init_flow)
-    back_pts, st_b = lk_track(curr_pyr, prev_pyr, curr_pts, st, cfg,
-                              None if init_flow is None else -init_flow)
+    curr_pts, st, err = lk_track(prev_pyr, curr_pyr, pts, mask, cfg, init_flow,
+                                 return_err=True)
+    # The backward track starts from the exact inverse of the forward flow, so
+    # it only needs a level-0 refinement: a good track returns in 1-2 GN steps
+    # and a drifting one diverges past the threshold.  A backward pass seeded
+    # at the answer cannot flag textureless windows (zero gradient => zero
+    # steps => zero return error), so the photometric residual of the forward
+    # track does that part: a genuinely matched window has low mean |I1-I0|.
+    back_cfg = dataclasses.replace(cfg, klt_levels=0)
+    back_pts, st_b = lk_track(curr_pyr, prev_pyr, curr_pts, st, back_cfg,
+                              pts - curr_pts)
     fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
-    return curr_pts, st & st_b & (fb_err < cfg.klt_fb_threshold**2)
+    ok = st & st_b & (fb_err < cfg.klt_fb_threshold**2) & (err < cfg.klt_max_err)
+    return curr_pts, ok
