@@ -1,4 +1,6 @@
 """Per-stage timing of the vloam pipeline on the current accelerator."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax
@@ -57,10 +59,12 @@ vs, d = vo_j(state.vo, img, cloud, mask, state.cam0_curr_LOT_cam0_prev)
 jax.block_until_ready((feats, ls, mp, vs))
 
 def timeit(name, fn, n=20):
+    small = lambda r: min(jax.tree.leaves(r), key=lambda a: a.size)
+    r = fn(); np.asarray(small(r))
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn()
-    jax.block_until_ready(r)
+    np.asarray(small(r))  # force a (tiny) host fetch (axon: block_until_ready lies)
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{name:24s} {dt:8.2f} ms")
     return dt

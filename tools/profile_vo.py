@@ -56,11 +56,12 @@ gn_j = jax.jit(lambda p0: solve_pose_gn(residuals, p0, vc.max_iters, vc.huber_de
 _ = gn_j(geo.pose_identity())
 
 def timeit(name, fn, n_=30):
-    r = fn(); jax.block_until_ready(r)
+    small = lambda r: min(jax.tree.leaves(r), key=lambda a: a.size)
+    r = fn(); np.asarray(small(r))
     t0 = time.perf_counter()
     for _ in range(n_):
         r = fn()
-    jax.block_until_ready(r)
+    np.asarray(small(r))  # force a (tiny) host fetch (axon: block_until_ready lies)
     print(f"{name:24s} {(time.perf_counter()-t0)/n_*1000:8.2f} ms")
 
 timeit("detect_corners", lambda: det_j(img0))

@@ -146,11 +146,14 @@ def fit_surf_planes(stack, stack_mask, nbr, d2, cfg):
 
 
 def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
-    """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604)."""
+    """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604).
+
+    Also returns the 1-NN squared distance (d2[:, 0]) so the insert-dedup
+    gate can reuse it instead of paying another full distance pass."""
     q = geo.pose_apply(pose, stack[:, :3])
     d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
     nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
-    return fit_corner_lines(stack, stack_mask, nbr, d2, cfg)
+    return fit_corner_lines(stack, stack_mask, nbr, d2, cfg) + (d2[:, 0],)
 
 
 def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
@@ -158,7 +161,7 @@ def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
     q = geo.pose_apply(pose, stack[:, :3])
     d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
     nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
-    return fit_surf_planes(stack, stack_mask, nbr, d2, cfg)
+    return fit_surf_planes(stack, stack_mask, nbr, d2, cfg) + (d2[:, 0],)
 
 
 def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg, slot_offset=0):
@@ -261,12 +264,14 @@ def mapping_step(
 
     enough = (jnp.sum(c_mask) > mc.min_map_corner) & (jnp.sum(s_mask) > mc.min_map_surf)
 
+    inf = jnp.float32(3.4e38)
+
     def optimize(pose):
         for _ in range(mc.outer_iters):
-            p_e, a_e, b_e, v_e = _corner_correspondences(
+            p_e, a_e, b_e, v_e, nn_c = _corner_correspondences(
                 pose, corner_stack, cs_mask, c_pts, c_mask, cfg
             )
-            p_s, n_s, d_s, v_s = _surf_correspondences(
+            p_s, n_s, d_s, v_s, nn_s = _surf_correspondences(
                 pose, surf_stack, ss_mask, s_pts, s_mask, cfg
             )
 
@@ -277,9 +282,14 @@ def mapping_step(
                 )
 
             pose = solve_pose_gn(residuals, pose, mc.inner_iters, mc.huber_delta, mc.lm_lambda)
-        return pose
+        return pose, nn_c, nn_s
 
-    pose_w = jax.lax.cond(enough, optimize, lambda p: p, pose0)
+    pose_w, nn_c, nn_s = jax.lax.cond(
+        enough,
+        optimize,
+        lambda p: (p, jnp.full(corner_stack.shape[:1], inf), jnp.full(surf_stack.shape[:1], inf)),
+        pose0,
+    )
 
     # transformUpdate (laser_mapping.cpp:147-151).
     wmap_wodom = geo.pose_compose(pose_w, geo.pose_inverse(pose_wodom))
@@ -291,11 +301,13 @@ def mapping_step(
     if mc.insert_dedup:
         # Density gate replacing the per-frame window re-voxelisation
         # (laser_mapping.cpp:793-808): a registered point enters the map only
-        # if no existing map point lies within half a voxel of it.
-        d2c, _ = nn1(corner_w[:, :3], c_pts[:, :3], c_mask)
-        d2s, _ = nn1(surf_w[:, :3], s_pts[:, :3], s_mask)
-        ins_c_mask = cs_mask & (d2c > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
-        ins_s_mask = ss_mask & (d2s > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
+        # if no existing map point lies within half a voxel of it.  The 1-NN
+        # distances are reused from the final association pass — they are
+        # evaluated one GN solve before pose_w, a sub-cm pose difference that
+        # is negligible against the 0.2-0.4 m gate radius, and reusing them
+        # saves a full (M, N) distance pass per feature type.
+        ins_c_mask = cs_mask & (nn_c > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
+        ins_s_mask = ss_mask & (nn_s > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
     c_arr, c_cnt, cube_coord, _ = _scatter_insert(
         corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
         mc.corner_cube_cap, cfg,

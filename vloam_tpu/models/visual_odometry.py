@@ -104,9 +104,14 @@ def vo_step(
         uv_pred = uv_pred[:, :2] / jnp.maximum(uv_pred[:, 2:3], 1e-3)
         init_flow = jnp.clip(uv_pred - state.prev_pts, -120.0, 120.0)
 
+        # With a real LO prior (frame >= 2) the seeded flow lands inside the
+        # level-0 patch slack, so the coarse pyramid levels are skipped at
+        # runtime (lax.cond) — they only run on the first tracked frame.
+        skip_coarse = None if lo_prior is None else (state.count >= 2)
         track = image_ops.lk_track_fb if vc.klt_fb_check else image_ops.lk_track
         curr_pts, track_ok = track(
-            state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc, init_flow
+            state.prev_img, img, state.prev_pts, state.prev_pts_mask, vc, init_flow,
+            skip_coarse=skip_coarse,
         )
         desc = state.prev_desc          # unused in this mode
         desc_mask = state.prev_desc_mask

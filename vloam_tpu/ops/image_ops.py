@@ -209,6 +209,120 @@ def _slice_patches_multi(imgs: jax.Array, corner: jax.Array, P: int) -> jax.Arra
     return jax.vmap(one)(corner)
 
 
+def _lk_level(
+    pimg: jax.Array,
+    cimg: jax.Array,
+    p_lvl: jax.Array,        # (N, 2) feature positions at this level's scale
+    status: jax.Array,       # (N,)
+    flow: jax.Array,         # (N, 2) incoming flow at this level's scale
+    cfg: VisualConfig,
+    compute_err: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+    """One pyramid level of Lucas-Kanade iterations (see lk_track)."""
+    r = cfg.klt_window // 2
+    w = 2 * r + 1
+    ph = r + cfg.klt_patch_slack + 1
+    P = 2 * ph
+    offs1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    n = p_lvl.shape[0]
+    gx, gy = sobel_gradients(pimg)
+    H, W = pimg.shape
+
+    def clip_corner(c):
+        return jnp.stack(
+            [jnp.clip(c[:, 0], 0, max(W - P, 0)), jnp.clip(c[:, 1], 0, max(H - P, 0))],
+            axis=-1,
+        )
+
+    corner = clip_corner(jnp.round(p_lvl).astype(jnp.int32) - ph)
+    # current-image patch centred on the PREDICTED position, so prior-seeded
+    # flows far beyond the slack stay inside the slice
+    corner_c = clip_corner(jnp.round(p_lvl + flow).astype(jnp.int32) - ph)
+
+    # ONE vmapped kernel for all four patch slices (gather launches are
+    # the dominant cost of the whole tracker — batch them)
+    stack3 = jnp.stack([pimg, gx, gy])
+
+    def slices(ci, cc):
+        tgg = jax.lax.dynamic_slice(stack3, (0, ci[1], ci[0]), (3, P, P))
+        cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
+        return tgg, cp
+
+    TGG, Cp = jax.vmap(slices)(corner, corner_c)
+    Tp, Gxp, Gyp = TGG[:, 0], TGG[:, 1], TGG[:, 2]
+
+    # template window (fixed per level): patch-space coords of the window taps
+    tx0 = p_lvl[:, 0] - corner[:, 0].astype(jnp.float32)
+    ty0 = p_lvl[:, 1] - corner[:, 1].astype(jnp.float32)
+    xs0 = tx0[:, None] + offs1d                         # (N, w)
+    ys0 = ty0[:, None] + offs1d
+    Wx0 = _tent_weights(xs0, P)
+    Wy0 = _tent_weights(ys0, P)
+    T = _sample_windows(Tp, Wy0, Wx0)
+    Ix = _sample_windows(Gxp, Wy0, Wx0)
+    Iy = _sample_windows(Gyp, Wy0, Wx0)
+
+    gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+    gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+    gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / (w * w)
+    ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
+    safe_det = jnp.where(det > 1e-6, det, 1.0)
+    inv00 = gyy / safe_det
+    inv01 = -gxy / safe_det
+    inv11 = gxx / safe_det
+
+    xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
+    ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
+
+    # cv::TermCriteria::EPS becomes a PER-FEATURE freeze mask inside a
+    # statically unrolled loop: a while_loop's global-max convergence
+    # scalar serialises the device (each tiny iteration round-trips the
+    # condition), whereas the unrolled form lets XLA fuse and pipeline all
+    # klt_iters iterations.  Converged features simply take zero steps.
+    def iter_body(carry, _):
+        fl, active = carry
+        xs = xs0_c + fl[:, 0:1]
+        ys = ys0_c + fl[:, 1:2]
+        Cw = _sample_windows(Cp, _tent_weights(ys, P), _tent_weights(xs, P))
+        diff = Cw - T
+        bx = jnp.sum(diff * Ix, axis=(1, 2))
+        by = jnp.sum(diff * Iy, axis=(1, 2))
+        dx = -(inv00 * bx + inv01 * by)
+        dy = -(inv01 * bx + inv11 * by)
+        step = jnp.stack([dx, dy], axis=-1)
+        step = jnp.where((ok_g & status & active)[:, None], step, 0.0)
+        still = jnp.max(jnp.abs(step), axis=-1) > cfg.klt_eps
+        return (fl + step, active & still), None
+
+    (flow, _), _ = jax.lax.scan(
+        iter_body, (flow, jnp.ones((n,), bool)), None,
+        length=cfg.klt_iters, unroll=True,
+    )
+
+    tracked = p_lvl + flow
+    inside = (
+        (tracked[:, 0] >= r) & (tracked[:, 0] < W - r - 1)
+        & (tracked[:, 1] >= r) & (tracked[:, 1] < H - r - 1)
+    )
+    # the window must also have stayed inside the sliced current patch
+    in_patch = (
+        (xs0_c[:, 0] + flow[:, 0] >= 0.0) & (xs0_c[:, -1] + flow[:, 0] <= P - 1)
+        & (ys0_c[:, 0] + flow[:, 1] >= 0.0) & (ys0_c[:, -1] + flow[:, 1] <= P - 1)
+    )
+    status = status & inside & ok_g & in_patch
+    err = None
+    if compute_err:
+        # photometric residual at convergence (cv::calcOpticalFlowPyrLK's
+        # ``err`` output): mean |I1(x+d) - I0(x)| over the window
+        Cw = _sample_windows(
+            Cp, _tent_weights(ys0_c + flow[:, 1:2], P), _tent_weights(xs0_c + flow[:, 0:1], P)
+        )
+        err = jnp.mean(jnp.abs(Cw - T), axis=(1, 2))
+    return flow, status, err
+
+
 def lk_track(
     prev_img: jax.Array,
     curr_img: jax.Array,
@@ -217,6 +331,7 @@ def lk_track(
     cfg: VisualConfig,
     init_flow: jax.Array | None = None,   # (N, 2) predicted flow (OPTFLOW_USE_INITIAL_FLOW)
     return_err: bool = False,
+    skip_coarse: jax.Array | None = None,  # () bool: branch past the coarse levels
 ) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array]:
     """Pyramidal Lucas-Kanade: returns (curr_pts (N, 2), status (N,)[, err (N,)]).
 
@@ -226,127 +341,42 @@ def lk_track(
     ``init_flow`` seeds the coarsest level — with a motion prior this
     extends the trackable displacement far beyond the pyramid range.
 
+    ``skip_coarse`` (a traced bool) selects at RUNTIME whether the coarse
+    pyramid levels run at all: once a motion prior is available (frame >= 2
+    in the pipeline), the prior-seeded flow lands within the level-0 patch
+    slack and the coarse levels — patch gathers, pyramid construction and
+    all — are dead weight.  Both branches compile once; only one executes.
+
     TPU formulation: per (feature, level) a single contiguous (P, P) patch is
     sliced from each image; every window resample inside the iteration loop
     is two batched interpolation matmuls over the patch (no gathers).
     """
-    r = cfg.klt_window // 2
-    w = 2 * r + 1
-    ph = r + cfg.klt_patch_slack + 1
-    P = 2 * ph
-    offs1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-
-    prev_pyr = prev_img if isinstance(prev_img, list) else gaussian_pyramid(prev_img, cfg.klt_levels)
-    curr_pyr = curr_img if isinstance(curr_img, list) else gaussian_pyramid(curr_img, cfg.klt_levels)
-
     n = pts.shape[0]
-    if init_flow is None:
-        flow = jnp.zeros((n, 2), jnp.float32)              # at coarsest level
+    init = jnp.zeros((n, 2), jnp.float32) if init_flow is None else init_flow
+    L = cfg.klt_levels
+
+    def run_coarse(_):
+        prev_pyr = gaussian_pyramid(prev_img, L)
+        curr_pyr = gaussian_pyramid(curr_img, L)
+        flow = init / (2.0 ** L)
+        st = mask
+        for lvl in range(L, 0, -1):
+            flow, st, _ = _lk_level(
+                prev_pyr[lvl], curr_pyr[lvl], pts / (2.0 ** lvl), st, flow, cfg, False
+            )
+            flow = flow * 2.0
+        return flow, st
+
+    if L == 0:
+        flow, status = init, mask
+    elif skip_coarse is None:
+        flow, status = run_coarse(None)
     else:
-        flow = init_flow / (2.0 ** cfg.klt_levels)
-    status = mask
-
-    for lvl in range(cfg.klt_levels, -1, -1):
-        scale = 2.0 ** lvl
-        p_lvl = pts / scale                                # (N, 2)
-        pimg, cimg = prev_pyr[lvl], curr_pyr[lvl]
-        gx, gy = sobel_gradients(pimg)
-        H, W = pimg.shape
-
-        def clip_corner(c):
-            return jnp.stack(
-                [jnp.clip(c[:, 0], 0, max(W - P, 0)), jnp.clip(c[:, 1], 0, max(H - P, 0))],
-                axis=-1,
-            )
-
-        corner = clip_corner(jnp.round(p_lvl).astype(jnp.int32) - ph)
-        # current-image patch centred on the PREDICTED position, so prior-seeded
-        # flows far beyond the slack stay inside the slice
-        flow0 = flow
-        corner_c = clip_corner(jnp.round(p_lvl + flow0).astype(jnp.int32) - ph)
-
-        # ONE vmapped kernel for all four patch slices (gather launches are
-        # the dominant cost of the whole tracker — batch them)
-        stack3 = jnp.stack([pimg, gx, gy])
-
-        def slices(ci, cc):
-            tgg = jax.lax.dynamic_slice(stack3, (0, ci[1], ci[0]), (3, P, P))
-            cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
-            return tgg, cp
-
-        TGG, Cp = jax.vmap(slices)(corner, corner_c)
-        Tp, Gxp, Gyp = TGG[:, 0], TGG[:, 1], TGG[:, 2]
-
-        # template window (fixed per level): patch-space coords of the window taps
-        tx0 = p_lvl[:, 0] - corner[:, 0].astype(jnp.float32)
-        ty0 = p_lvl[:, 1] - corner[:, 1].astype(jnp.float32)
-        xs0 = tx0[:, None] + offs1d                         # (N, w)
-        ys0 = ty0[:, None] + offs1d
-        Wx0 = _tent_weights(xs0, P)
-        Wy0 = _tent_weights(ys0, P)
-        T = _sample_windows(Tp, Wy0, Wx0)
-        Ix = _sample_windows(Gxp, Wy0, Wx0)
-        Iy = _sample_windows(Gyp, Wy0, Wx0)
-
-        gxx = jnp.sum(Ix * Ix, axis=(1, 2))
-        gxy = jnp.sum(Ix * Iy, axis=(1, 2))
-        gyy = jnp.sum(Iy * Iy, axis=(1, 2))
-        det = gxx * gyy - gxy * gxy
-        min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / (w * w)
-        ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
-        safe_det = jnp.where(det > 1e-6, det, 1.0)
-        inv00 = gyy / safe_det
-        inv01 = -gxy / safe_det
-        inv11 = gxx / safe_det
-
-        xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
-        ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
-
-        # cv::TermCriteria::EPS becomes a PER-FEATURE freeze mask inside a
-        # statically unrolled loop: a while_loop's global-max convergence
-        # scalar serialises the device (each tiny iteration round-trips the
-        # condition), whereas the unrolled form lets XLA fuse and pipeline all
-        # klt_iters iterations.  Converged features simply take zero steps.
-        def iter_body(carry, _):
-            fl, active = carry
-            xs = xs0_c + fl[:, 0:1]
-            ys = ys0_c + fl[:, 1:2]
-            Cw = _sample_windows(Cp, _tent_weights(ys, P), _tent_weights(xs, P))
-            diff = Cw - T
-            bx = jnp.sum(diff * Ix, axis=(1, 2))
-            by = jnp.sum(diff * Iy, axis=(1, 2))
-            dx = -(inv00 * bx + inv01 * by)
-            dy = -(inv01 * bx + inv11 * by)
-            step = jnp.stack([dx, dy], axis=-1)
-            step = jnp.where((ok_g & status & active)[:, None], step, 0.0)
-            still = jnp.max(jnp.abs(step), axis=-1) > cfg.klt_eps
-            return (fl + step, active & still), None
-
-        (flow, _), _ = jax.lax.scan(
-            iter_body, (flow, jnp.ones((n,), bool)), None,
-            length=cfg.klt_iters, unroll=True,
+        flow, status = jax.lax.cond(
+            skip_coarse, lambda _: (init, mask), run_coarse, None
         )
 
-        tracked = p_lvl + flow
-        inside = (
-            (tracked[:, 0] >= r) & (tracked[:, 0] < W - r - 1)
-            & (tracked[:, 1] >= r) & (tracked[:, 1] < H - r - 1)
-        )
-        # the window must also have stayed inside the sliced current patch
-        in_patch = (
-            (xs0_c[:, 0] + flow[:, 0] >= 0.0) & (xs0_c[:, -1] + flow[:, 0] <= P - 1)
-            & (ys0_c[:, 0] + flow[:, 1] >= 0.0) & (ys0_c[:, -1] + flow[:, 1] <= P - 1)
-        )
-        status = status & inside & ok_g & in_patch
-        if lvl > 0:
-            flow = flow * 2.0                              # upsample to next level
-        else:
-            # photometric residual at convergence (cv::calcOpticalFlowPyrLK's
-            # ``err`` output): mean |I1(x+d) - I0(x)| over the window
-            Cw = _sample_windows(
-                Cp, _tent_weights(ys0_c + flow[:, 1:2], P), _tent_weights(xs0_c + flow[:, 0:1], P)
-            )
-            err = jnp.mean(jnp.abs(Cw - T), axis=(1, 2))
+    flow, status, err = _lk_level(prev_img, curr_img, pts, status, flow, cfg, True)
 
     if return_err:
         return pts + flow, status, err
@@ -360,6 +390,7 @@ def lk_track_fb(
     mask: jax.Array,
     cfg: VisualConfig,
     init_flow: jax.Array | None = None,
+    skip_coarse: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """LK with a forward-backward consistency check.
 
@@ -370,10 +401,8 @@ def lk_track_fb(
     """
     import dataclasses
 
-    prev_pyr = gaussian_pyramid(prev_img, cfg.klt_levels)
-    curr_pyr = gaussian_pyramid(curr_img, cfg.klt_levels)
-    curr_pts, st, err = lk_track(prev_pyr, curr_pyr, pts, mask, cfg, init_flow,
-                                 return_err=True)
+    curr_pts, st, err = lk_track(prev_img, curr_img, pts, mask, cfg, init_flow,
+                                 return_err=True, skip_coarse=skip_coarse)
     # The backward track starts from the exact inverse of the forward flow, so
     # it only needs a level-0 refinement: a good track returns in 1-2 GN steps
     # and a drifting one diverges past the threshold.  A backward pass seeded
@@ -381,7 +410,7 @@ def lk_track_fb(
     # steps => zero return error), so the photometric residual of the forward
     # track does that part: a genuinely matched window has low mean |I1-I0|.
     back_cfg = dataclasses.replace(cfg, klt_levels=0)
-    back_pts, st_b = lk_track(curr_pyr, prev_pyr, curr_pts, st, back_cfg,
+    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, back_cfg,
                               pts - curr_pts)
     fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
     ok = st & st_b & (fb_err < cfg.klt_fb_threshold**2) & (err < cfg.klt_max_err)

@@ -88,9 +88,41 @@ def knn(
 def nn1(
     query: jax.Array, cand: jax.Array, cand_mask: jax.Array, block: int = 32768
 ) -> tuple[jax.Array, jax.Array]:
-    """Single nearest neighbour: (sqdist (M,), idx (M,))."""
-    d, i = knn(query, cand, cand_mask, 1, block, exact=True)
-    return d[:, 0], i[:, 0]
+    """Single nearest neighbour: (sqdist (M,), idx (M,)).
+
+    k=1 needs no top-k machinery at all — a fused min/argmin reduction over
+    the (blocked) distance matrix is ~10x cheaper than a top_k full sort.
+    """
+    m, n = query.shape[0], cand.shape[0]
+    if n <= block:
+        d2 = pairwise_sqdist(query, cand)
+        d2 = jnp.where(cand_mask[None, :], d2, _INF)
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
+
+    if n % block != 0:
+        pad = block - n % block
+        cand = jnp.concatenate([cand, jnp.zeros((pad, 3), cand.dtype)])
+        cand_mask = jnp.concatenate([cand_mask, jnp.zeros((pad,), bool)])
+        n += pad
+    cand_b = cand.reshape(n // block, block, 3)
+    mask_b = cand_mask.reshape(n // block, block)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        cb, mb, b = inp
+        d2 = jnp.where(mb[None, :], pairwise_sqdist(query, cb), _INF)
+        i = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        d = jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0]
+        better = d < best_d
+        return (jnp.where(better, d, best_d),
+                jnp.where(better, b * block + i, best_i)), None
+
+    init = (jnp.full((m,), _INF), jnp.zeros((m,), jnp.int32))
+    (d, i), _ = jax.lax.scan(
+        step, init, (cand_b, mask_b, jnp.arange(n // block, dtype=jnp.int32))
+    )
+    return d, i
 
 
 def compact_rows(
