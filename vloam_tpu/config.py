@@ -68,8 +68,11 @@ class MappingConfig:
     surf_cube_cap: int = 4096         # fixed per-cube surf point capacity
     corner_stack_cap: int = 4096      # downsampled input corner features per frame
     surf_stack_cap: int = 8192        # downsampled input surf features per frame
-    submap_corner_cap: int = 32768    # gathered submap corner points (75 cubes)
-    submap_surf_cap: int = 65536      # gathered submap surf points
+    submap_corner_cap: int = 16384    # gathered submap corner points (75 cubes);
+                                      # A-LOAM corner maps on KITTI run ~5-15k after
+                                      # the 0.4m voxel filter — 16k is ~2x headroom
+    submap_surf_cap: int = 49152      # gathered submap surf points (~20-40k typical
+                                      # at 0.8m resolution; 384*128 stays MXU-tiled)
     n_neighbors: int = 5              # 5-NN PCA/plane fits (laser_mapping.cpp:554,633)
     neighbor_dist_sq: float = 1.0     # pointSearchSqDis[4] < 1.0 gate (laser_mapping.cpp:557,642)
     eigen_ratio: float = 3.0          # lambda2 > 3*lambda1 line validity (laser_mapping.cpp:591)

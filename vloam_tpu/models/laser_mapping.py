@@ -43,6 +43,15 @@ class MapState(NamedTuple):
     pose_map: jax.Array      # (7,) world_T_curr after mapping
     wmap_wodom: jax.Array    # (7,) map-world_T_odom-world correction
     initialized: jax.Array   # () bool
+    # Compacted-submap cache (single-device insert_dedup path): the gathered
+    # 75-cube window only changes by this frame's inserts until the robot
+    # crosses a cube boundary, so it is rebuilt from the cube arrays only
+    # when sub_center changes and incrementally appended otherwise.
+    sub_c: jax.Array         # (submap_corner_cap, 4)
+    sub_c_n: jax.Array       # () int32 valid prefix
+    sub_s: jax.Array         # (submap_surf_cap, 4)
+    sub_s_n: jax.Array       # () int32
+    sub_center: jax.Array    # (3,) int32 cube coord the cache was built around
 
 
 def n_cubes(cfg: VloamConfig) -> int:
@@ -66,6 +75,11 @@ def init_map_state(cfg: VloamConfig, n_shards: int = 1) -> MapState:
         pose_map=geo.pose_identity(),
         wmap_wodom=geo.pose_identity(),
         initialized=jnp.array(False),
+        sub_c=jnp.zeros((mc.submap_corner_cap, 4), jnp.float32),
+        sub_c_n=jnp.array(0, jnp.int32),
+        sub_s=jnp.zeros((mc.submap_surf_cap, 4), jnp.float32),
+        sub_s_n=jnp.array(0, jnp.int32),
+        sub_center=jnp.full((3,), jnp.iinfo(jnp.int32).min, jnp.int32),
     )
 
 
@@ -205,10 +219,14 @@ def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg, slo
     flat = jnp.where(ok, slot_s * cap + dest_row, nc * cap)
     pts_flat = state_pts.reshape(-1, 4)
     pts_flat = jnp.concatenate([pts_flat, jnp.zeros((1, 4), pts_flat.dtype)]).at[flat].set(
-        jnp.where(ok[:, None], pts_s, 0.0), mode="drop"
+        jnp.where(ok[:, None], pts_s, 0.0), mode="drop", unique_indices=True
     )[:-1]
-    added = jax.ops.segment_sum(ok.astype(jnp.int32), jnp.minimum(slot_s, nc), num_segments=nc + 1)[:nc]
-    return pts_flat.reshape(nc, cap, 4), cnt + added, cube_coord, touched
+    added = jax.ops.segment_sum(
+        ok.astype(jnp.int32), jnp.minimum(slot_s, nc), num_segments=nc + 1,
+        indices_are_sorted=True,
+    )[:nc]
+    accepted = jnp.zeros((n,), bool).at[order].set(ok)     # per-INPUT-point landed flag
+    return pts_flat.reshape(nc, cap, 4), cnt + added, cube_coord, touched, accepted
 
 
 def _refilter_cubes(pts, cnt, slots, leaf, cap, cfg):
@@ -260,9 +278,30 @@ def mapping_step(
 
     center = cube_coord_of(geo.pose_t(pose0)[None, :], mc.cube_size)[0]
     coords = _submap_coords(center, cfg)
-    (c_pts, c_mask), (s_pts, s_mask), slots, fresh = _gather_submap(state, coords, cfg)
 
-    enough = (jnp.sum(c_mask) > mc.min_map_corner) & (jnp.sum(s_mask) > mc.min_map_surf)
+    if mc.insert_dedup:
+        # Compacted-submap cache: the gathered window only changes by this
+        # frame's inserts until the robot crosses a cube boundary (~50 m), so
+        # the expensive gather+compact runs ~once per 50 frames (lax.cond)
+        # and inserts are appended to the cache below.
+        def rebuild(_):
+            (cp, cm), (sp, sm), _, _ = _gather_submap(state, coords, cfg)
+            return cp, jnp.sum(cm).astype(jnp.int32), sp, jnp.sum(sm).astype(jnp.int32)
+
+        def cached(_):
+            return state.sub_c, state.sub_c_n, state.sub_s, state.sub_s_n
+
+        need_rebuild = jnp.any(center != state.sub_center)
+        c_pts, c_n, s_pts, s_n = jax.lax.cond(need_rebuild, rebuild, cached, None)
+        c_mask = jnp.arange(c_pts.shape[0]) < c_n
+        s_mask = jnp.arange(s_pts.shape[0]) < s_n
+        slots = None
+    else:
+        (c_pts, c_mask), (s_pts, s_mask), slots, fresh = _gather_submap(state, coords, cfg)
+        c_n = jnp.sum(c_mask).astype(jnp.int32)
+        s_n = jnp.sum(s_mask).astype(jnp.int32)
+
+    enough = (c_n > mc.min_map_corner) & (s_n > mc.min_map_surf)
 
     inf = jnp.float32(3.4e38)
 
@@ -308,24 +347,50 @@ def mapping_step(
         # saves a full (M, N) distance pass per feature type.
         ins_c_mask = cs_mask & (nn_c > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
         ins_s_mask = ss_mask & (nn_s > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
-    c_arr, c_cnt, cube_coord, _ = _scatter_insert(
+    c_arr, c_cnt, cube_coord, _, acc_c = _scatter_insert(
         corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
         mc.corner_cube_cap, cfg,
     )
-    s_arr, s_cnt, cube_coord, _ = _scatter_insert(
+    s_arr, s_cnt, cube_coord, _, acc_s = _scatter_insert(
         surf_w, ins_s_mask, state.surf_pts, state.surf_cnt, cube_coord,
         mc.surf_cube_cap, cfg,
     )
 
-    if not mc.insert_dedup:
+    if mc.insert_dedup:
+        # Append this frame's accepted in-window points to the submap cache so
+        # it stays exactly the set a fresh gather would produce.
+        radii = jnp.array([mc.submap_rx, mc.submap_rx, mc.submap_rz], jnp.int32)
+
+        def in_window(pts_w):
+            cc = cube_coord_of(pts_w[:, :3], mc.cube_size)
+            return jnp.all(jnp.abs(cc - center[None, :]) <= radii[None, :], axis=-1)
+
+        def append(buf, n, pts_w, m):
+            cap = buf.shape[0]
+            rank = jnp.cumsum(m.astype(jnp.int32)) - m.astype(jnp.int32)
+            dest = jnp.where(m & (n + rank < cap), n + rank, cap)
+            buf = jnp.concatenate([buf, jnp.zeros((1, 4), buf.dtype)]).at[dest].set(
+                jnp.where((dest < cap)[:, None], pts_w, 0.0),
+                mode="drop", unique_indices=True,
+            )[:-1]
+            return buf, jnp.minimum(n + jnp.sum(m, dtype=jnp.int32), cap)
+
+        sub_c, sub_c_n = append(c_pts, c_n, corner_w, acc_c & in_window(corner_w))
+        sub_s, sub_s_n = append(s_pts, s_n, surf_w, acc_s & in_window(surf_w))
+        sub_center = center
+    else:
         # Reference-exact path: re-voxelise the submap window each frame.
         c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, slots, mc.line_resolution,
                                        mc.corner_cube_cap, cfg)
         s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, slots, mc.plane_resolution,
                                        mc.surf_cube_cap, cfg)
+        sub_c, sub_c_n, sub_s, sub_s_n = state.sub_c, state.sub_c_n, state.sub_s, state.sub_s_n
+        sub_center = state.sub_center
 
     return MapState(
         corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,
         cube_coord=cube_coord, pose_map=pose_w, wmap_wodom=wmap_wodom,
         initialized=jnp.array(True),
+        sub_c=sub_c, sub_c_n=sub_c_n, sub_s=sub_s, sub_s_n=sub_s_n,
+        sub_center=sub_center,
     ), pose_w

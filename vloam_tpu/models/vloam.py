@@ -24,7 +24,7 @@ from vloam_tpu.models import frame_graph as fg
 from vloam_tpu.models.laser_mapping import MapState, init_map_state, mapping_step
 from vloam_tpu.models.lidar_odometry import LoState, init_lo_state, lo_step
 from vloam_tpu.models.visual_odometry import VoState, init_vo_state, vo_step
-from vloam_tpu.ops.scan_registration import extract_features
+from vloam_tpu.ops.scan_registration import extract_features, extract_features_from_grid
 
 
 class VloamState(NamedTuple):
@@ -61,16 +61,28 @@ def init_vloam_state(cfg: VloamConfig) -> VloamState:
 def vloam_step(
     state: VloamState,
     img: jax.Array,           # (H, W) float32
-    cloud: jax.Array,         # (N, 3) velodyne frame
-    cloud_mask: jax.Array,    # (N,)
+    cloud: jax.Array,         # (N, 3|4) velodyne frame — or (R, C, 4) ring grid
+    cloud_mask: jax.Array,    # (N,) — or (R, C) grid mask
     ext: fg.Extrinsics,
     cfg: VloamConfig,
+    pre_gridded: bool = False,
 ) -> tuple[VloamState, VloamOutputs]:
+    """One coupled frame.  With ``pre_gridded=True`` the lidar inputs are the
+    host-built ring grid (data/gridding.py) — the device skips organize_scan
+    (the O(N) ring ranking the host does for free inside the prefetcher)."""
+    if pre_gridded:
+        grid, gmask = cloud, cloud_mask
+        n_per_ring = jnp.sum(gmask, axis=1).astype(jnp.int32)
+        flat_cloud = grid.reshape(-1, 4)[:, :3]
+        flat_mask = gmask.reshape(-1)
+    else:
+        flat_cloud, flat_mask = cloud[..., :3], cloud_mask
+
     # ---- Sec 1+3+4: visual odometry (vloam_main_node.cpp:147-174) ----------
     proj = ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo
     K = ext.P_rect0[:, :3]
     vo_state, cam0_curr_T_cam0_last = vo_step(
-        state.vo, img, cloud, cloud_mask, proj, K, cfg,
+        state.vo, img, flat_cloud, flat_mask, proj, K, cfg,
         lo_prior=state.cam0_curr_LOT_cam0_prev,
     )
 
@@ -79,7 +91,10 @@ def vloam_step(
     world_VOT_base = fg.accumulate_world(state.world_VOT_base, velo_last_VOT_velo_curr)
 
     # ---- Sec 5: scan registration + LO + mapping (:186-190) ----------------
-    feats = extract_features(cloud, cloud_mask, cfg.scan)
+    if pre_gridded:
+        feats = extract_features_from_grid(grid, gmask, n_per_ring, cfg.scan)
+    else:
+        feats = extract_features(flat_cloud, flat_mask, cfg.scan)
 
     vo_prior = None if cfg.detach_vo_lo else velo_last_VOT_velo_curr
     lo_state, lo_delta, world_LOT_base = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)

@@ -143,7 +143,8 @@ def compact_rows(
     ok = (col < counts[:, None]) & (dest < out_cap)
     dest = jnp.where(ok, dest, out_cap)
     out = jnp.zeros((out_cap + 1, D), pts.dtype).at[dest.reshape(-1)].set(
-        jnp.where(ok.reshape(-1)[:, None], pts.reshape(-1, D), 0.0), mode="drop"
+        jnp.where(ok.reshape(-1)[:, None], pts.reshape(-1, D), 0.0),
+        mode="drop", unique_indices=True,
     )[:out_cap]
     total = jnp.minimum(jnp.sum(counts), out_cap)
     return out, jnp.arange(out_cap) < total

@@ -125,9 +125,11 @@ def organize_scan(
     ok = mask & (rank < cfg.ring_cap)
     flat_idx = jnp.where(ok, ring * cfg.ring_cap + rank, cfg.n_scans * cfg.ring_cap)
     grid = jnp.zeros((cfg.n_scans * cfg.ring_cap + 1, 4), jnp.float32).at[flat_idx].set(
-        jnp.where(ok[:, None], pts4, 0.0), mode="drop"
+        jnp.where(ok[:, None], pts4, 0.0), mode="drop", unique_indices=True
     )[:-1].reshape(cfg.n_scans, cfg.ring_cap, 4)
-    gmask = jnp.zeros((cfg.n_scans * cfg.ring_cap + 1,), bool).at[flat_idx].set(ok, mode="drop")[:-1]
+    gmask = jnp.zeros((cfg.n_scans * cfg.ring_cap + 1,), bool).at[flat_idx].set(
+        ok, mode="drop", unique_indices=True
+    )[:-1]
     gmask = gmask.reshape(cfg.n_scans, cfg.ring_cap)
     n_per_ring = jnp.sum(gmask, axis=1).astype(jnp.int32)
     return grid, gmask, n_per_ring
@@ -185,6 +187,23 @@ def extract_features(
 ) -> ScanFeatures:
     """Full scan registration: raw padded cloud -> LOAM feature clouds."""
     grid, gmask, n_per_ring = organize_scan(points, mask, cfg)
+    return extract_features_from_grid(grid, gmask, n_per_ring, cfg)
+
+
+def extract_features_from_grid(
+    grid: jax.Array,          # (R, C, 4) xyzw ring grid (see organize_scan)
+    gmask: jax.Array,         # (R, C)
+    n_per_ring: jax.Array,    # (R,) int32
+    cfg: ScanConfig,
+) -> ScanFeatures:
+    """Scan registration from a pre-built ring grid.
+
+    The ring gridding itself (ring id, intra-scan time, rank within ring) is
+    an O(N) sequential pass that the host data layer performs for free while
+    the device is busy with the previous frame (data/gridding.py, native
+    loader) — the device-side ``organize_scan`` stays as the self-contained
+    fallback for raw padded clouds.
+    """
     curv, selectable = ring_curvature(grid, n_per_ring, cfg)
     fwd, bwd = _suppression_reach(grid, gmask, cfg)
 

@@ -163,11 +163,11 @@ def sharded_mapping_step(
         _, d2s = _global_knn(surf_w[:, :3], s_pts, s_mask, 1, axis)
         ins_c_mask = cs_mask & (d2c[:, 0] > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
         ins_s_mask = ss_mask & (d2s[:, 0] > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
-    c_arr, c_cnt, cube_coord, _ = _scatter_insert(
+    c_arr, c_cnt, cube_coord, _, _ = _scatter_insert(
         corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
         mc.corner_cube_cap, cfg, slot_offset=offset,
     )
-    s_arr, s_cnt, cube_coord, _ = _scatter_insert(
+    s_arr, s_cnt, cube_coord, _, _ = _scatter_insert(
         surf_w, ins_s_mask, state.surf_pts, state.surf_cnt, cube_coord,
         mc.surf_cube_cap, cfg, slot_offset=offset,
     )
@@ -181,6 +181,10 @@ def sharded_mapping_step(
         corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,
         cube_coord=cube_coord, pose_map=pose_w, wmap_wodom=wmap_wodom,
         initialized=jnp.array(True),
+        # the compacted-submap cache is a single-device fast path; sharded
+        # mapping re-gathers its local window every frame (cheap per shard)
+        sub_c=state.sub_c, sub_c_n=state.sub_c_n,
+        sub_s=state.sub_s, sub_s_n=state.sub_s_n, sub_center=state.sub_center,
     ), pose_w
 
 
@@ -192,6 +196,7 @@ def make_sharded_step(cfg: VloamConfig, mesh: Mesh, axis: str = "map"):
     state_specs = MapState(
         corner_pts=cube, corner_cnt=cube, surf_pts=cube, surf_cnt=cube,
         cube_coord=cube, pose_map=rep, wmap_wodom=rep, initialized=rep,
+        sub_c=rep, sub_c_n=rep, sub_s=rep, sub_s_n=rep, sub_center=rep,
     )
 
     @jax.jit

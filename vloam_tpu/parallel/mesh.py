@@ -14,18 +14,15 @@ def map_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+_CUBE_FIELDS = ("corner_pts", "corner_cnt", "surf_pts", "surf_cnt", "cube_coord")
+
+
 def shard_map_state(state, mesh: Mesh, axis: str = "map"):
-    """Place a MapState with cube arrays sharded along the slot axis and the
-    small pose/flag leaves replicated."""
+    """Place a MapState with cube-slot arrays sharded along the slot axis and
+    everything else (poses, flags, the single-device submap cache) replicated."""
     cube = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-
-    def place(path_leaf):
-        name, leaf = path_leaf
-        return jax.device_put(leaf, cube if leaf.ndim >= 1 and leaf.shape[0] % mesh.size == 0 and leaf.shape[0] > 16 else rep)
-
     leaves = []
     for name, leaf in zip(state._fields, state):
-        big = hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] > 16
-        leaves.append(jax.device_put(leaf, cube if big else rep))
+        leaves.append(jax.device_put(leaf, cube if name in _CUBE_FIELDS else rep))
     return type(state)(*leaves)
