@@ -13,7 +13,9 @@
 //
 // Build: native/build.sh  ->  native/libvloam_host.so
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -48,6 +50,89 @@ int vh_load_bin(const char* path, float* out, int max_points) {
   }
   std::fclose(f);
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Ring gridding (the data-layer half of scan registration)
+// ---------------------------------------------------------------------------
+
+// Ring-grids a raw cloud (n x stride float32, xyz in the first 3) into the
+// dense (n_scans, ring_cap, 4) xyzw grid consumed by
+// ops.scan_registration.extract_features_from_grid.  Mirrors
+// vloam_tpu/data/gridding.py (itself pinned against the device oracle):
+// ring id from vertical angle (scan_registration.cpp:217-254), azimuth
+// relative time (:185-294), min-range/NaN filter (:107-141), scan-order rank
+// within ring.  Returns total gridded points, or -1 on bad n_scans.
+int vh_grid_cloud(const float* pts, int n, int stride, int n_scans, int ring_cap,
+                  float min_range, float scan_period,
+                  float* grid_out, unsigned char* mask_out, int* n_per_ring_out) {
+  if (n_scans != 16 && n_scans != 32 && n_scans != 64) return -1;
+  const double PI = 3.14159265358979323846;
+  std::memset(grid_out, 0, sizeof(float) * (size_t)n_scans * ring_cap * 4);
+  std::memset(mask_out, 0, (size_t)n_scans * ring_cap);
+  std::memset(n_per_ring_out, 0, sizeof(int) * n_scans);
+
+  std::vector<int> ring(n, -1);
+  std::vector<float> ori(n, 0.0f);
+  int first = -1, last = -1;
+  for (int i = 0; i < n; ++i) {
+    float x = pts[i * stride], y = pts[i * stride + 1], z = pts[i * stride + 2];
+    if (!(std::isfinite(x) && std::isfinite(y) && std::isfinite(z))) continue;
+    float r = std::sqrt(x * x + y * y + z * z);
+    if (r < min_range) continue;
+    float horiz = std::sqrt(x * x + y * y);
+    float angle = (float)(std::atan2((double)z, std::max((double)horiz, 1e-12)) * 180.0 / PI);
+    int sid;
+    bool ok;
+    if (n_scans == 16) {
+      sid = (int)((angle + 15.0f) / 2.0f + 0.5f);
+      ok = sid >= 0 && sid <= n_scans - 1;
+    } else if (n_scans == 32) {
+      sid = (int)((angle + 92.0f / 3.0f) * 3.0f / 4.0f);
+      ok = sid >= 0 && sid <= n_scans - 1;
+    } else {
+      if (angle >= -8.83f)
+        sid = (int)((2.0f - angle) * 3.0f + 0.5f);
+      else
+        sid = n_scans / 2 + (int)((-8.83f - angle) * 2.0f + 0.5f);
+      ok = angle <= 2.0f && angle >= -24.33f && sid >= 0 && sid <= 50;
+    }
+    if (!ok) continue;
+    ring[i] = sid < 0 ? 0 : (sid > n_scans - 1 ? n_scans - 1 : sid);
+    ori[i] = (float)(-std::atan2((double)y, (double)x));
+    if (first < 0) first = i;
+    last = i;
+  }
+  double start = 0.0, sweep = 1.0;
+  if (first >= 0) {
+    start = ori[first];
+    double end = ori[last] + 2.0 * PI;
+    if (end - start > 3.0 * PI)
+      end -= 2.0 * PI;
+    else if (end - start < PI)
+      end += 2.0 * PI;
+    sweep = std::max(end - start, 1e-6);
+  }
+  int total = 0;
+  for (int i = 0; i < n; ++i) {
+    if (ring[i] < 0) continue;
+    int rr = ring[i];
+    int rank = n_per_ring_out[rr];
+    if (rank >= ring_cap) continue;
+    double rel = std::fmod((double)ori[i] - start, 2.0 * PI);
+    if (rel < 0) rel += 2.0 * PI;
+    rel /= sweep;
+    rel = rel < 0.0 ? 0.0 : (rel > 1.0 ? 1.0 : rel);
+    float* cell = grid_out + (((size_t)rr * ring_cap) + rank) * 4;
+    cell[0] = pts[i * stride];
+    cell[1] = pts[i * stride + 1];
+    cell[2] = pts[i * stride + 2];
+    cell[3] = (float)rr + scan_period * (float)rel;
+    mask_out[(size_t)rr * ring_cap + rank] = 1;
+    n_per_ring_out[rr] = rank + 1;
+    ++total;
+  }
+  return total;
 }
 
 // ---------------------------------------------------------------------------
@@ -110,6 +195,10 @@ struct Frame {
   std::vector<float> cloud;  // max_points * 3, zero-padded
   int n_points = 0;
   std::vector<float> image;  // height * width (empty if no image)
+  // gridded outputs (when the prefetcher was created with n_scans > 0)
+  std::vector<float> grid;          // n_scans * ring_cap * 4
+  std::vector<unsigned char> gmask; // n_scans * ring_cap
+  std::vector<int> n_per_ring;      // n_scans
   int status = 0;
   int index = 0;
 };
@@ -118,6 +207,9 @@ struct Prefetcher {
   std::vector<std::string> bins;
   std::vector<std::string> pngs;  // empty strings when lidar-only
   int max_points, height, width, depth;
+  // ring-gridding config (n_scans == 0 disables gridding)
+  int n_scans = 0, ring_cap = 0;
+  float min_range = 0.0f, scan_period = 0.1f;
   std::atomic<int> next_submit{0};
   int next_emit = 0;
   std::mutex mu;
@@ -144,6 +236,14 @@ struct Prefetcher {
       fr.cloud.assign((size_t)max_points * 3, 0.0f);
       fr.n_points = vh_load_bin(bins[i].c_str(), fr.cloud.data(), max_points);
       if (fr.n_points < 0) fr.status = -1;
+      if (n_scans > 0 && fr.n_points >= 0) {
+        fr.grid.assign((size_t)n_scans * ring_cap * 4, 0.0f);
+        fr.gmask.assign((size_t)n_scans * ring_cap, 0);
+        fr.n_per_ring.assign(n_scans, 0);
+        vh_grid_cloud(fr.cloud.data(), fr.n_points, 3, n_scans, ring_cap,
+                      min_range, scan_period, fr.grid.data(), fr.gmask.data(),
+                      fr.n_per_ring.data());
+      }
       if (!pngs[i].empty()) {
         fr.image.assign((size_t)height * width, 0.0f);
         if (vh_load_png_gray(pngs[i].c_str(), fr.image.data(), height, width) != 0)
@@ -162,7 +262,8 @@ struct Prefetcher {
 // paths: '\n'-joined bin paths; img_paths likewise ('\n'-joined, empty lines
 // for lidar-only frames) or nullptr.
 void* vh_prefetcher_create(const char* bin_paths, const char* img_paths, int max_points,
-                           int height, int width, int depth, int n_threads) {
+                           int height, int width, int depth, int n_threads,
+                           int n_scans, int ring_cap, float min_range, float scan_period) {
   auto split = [](const char* s) {
     std::vector<std::string> out;
     if (!s) return out;
@@ -186,6 +287,10 @@ void* vh_prefetcher_create(const char* bin_paths, const char* img_paths, int max
   pf->height = height;
   pf->width = width;
   pf->depth = depth < 1 ? 2 : depth;
+  pf->n_scans = n_scans;
+  pf->ring_cap = ring_cap;
+  pf->min_range = min_range;
+  pf->scan_period = scan_period;
   pf->done.resize(pf->bins.size());
   pf->done_set.assign(pf->bins.size(), false);
   int nt = n_threads < 1 ? 2 : n_threads;
@@ -209,6 +314,33 @@ int vh_prefetcher_next(void* handle, float* cloud_out, float* image_out) {
     std::memcpy(image_out, fr.image.data(), sizeof(float) * (size_t)pf->height * pf->width);
   int rc = fr.status < 0 ? fr.status : fr.n_points;
   fr = Frame();  // release memory
+  pf->next_emit = i + 1;
+  lk.unlock();
+  pf->cv.notify_all();
+  return rc;
+}
+
+// Grid-mode variant: copies the ring grid built by the worker threads.
+// Requires the prefetcher to have been created with n_scans > 0.
+int vh_prefetcher_next_grid(void* handle, float* grid_out, unsigned char* mask_out,
+                            int* n_per_ring_out, float* image_out) {
+  auto* pf = (Prefetcher*)handle;
+  int i = pf->next_emit;
+  if (i >= (int)pf->bins.size()) return -99;
+  if (pf->n_scans <= 0) return -98;
+  std::unique_lock<std::mutex> lk(pf->mu);
+  pf->cv.wait(lk, [&] { return pf->done_set[i]; });
+  Frame& fr = pf->done[i];
+  if (!fr.grid.empty()) {
+    std::memcpy(grid_out, fr.grid.data(),
+                sizeof(float) * (size_t)pf->n_scans * pf->ring_cap * 4);
+    std::memcpy(mask_out, fr.gmask.data(), (size_t)pf->n_scans * pf->ring_cap);
+    std::memcpy(n_per_ring_out, fr.n_per_ring.data(), sizeof(int) * pf->n_scans);
+  }
+  if (image_out && !fr.image.empty())
+    std::memcpy(image_out, fr.image.data(), sizeof(float) * (size_t)pf->height * pf->width);
+  int rc = fr.status < 0 ? fr.status : fr.n_points;
+  fr = Frame();
   pf->next_emit = i + 1;
   lk.unlock();
   pf->cv.notify_all();

@@ -83,3 +83,47 @@ def test_prefetcher_lidar_only(bin_files):
         seen += 1
     assert seen == 5
     pf.close()
+
+
+def _lidar_scan(seed=0):
+    from vloam_tpu.data import synthetic
+
+    boxes = synthetic.default_scene()
+    return synthetic.simulate_scan(np.eye(3), np.zeros(3), boxes, n_azimuth=600, noise=0.01, seed=seed)
+
+
+def test_grid_cloud_matches_python():
+    from vloam_tpu.config import ScanConfig
+    from vloam_tpu.data.gridding import grid_cloud
+
+    cfg = ScanConfig(ring_cap=512, max_points=32768, less_flat_cap=8192)
+    pts = _lidar_scan().astype(np.float32)
+    g_py, m_py, n_py = grid_cloud(pts, cfg)
+    g_c, m_c, n_c = native.grid_cloud_native(pts, cfg)
+    np.testing.assert_array_equal(m_py, m_c)
+    np.testing.assert_array_equal(n_py, n_c)
+    np.testing.assert_allclose(g_py, g_c, atol=1e-5)
+
+
+def test_prefetcher_grid_mode(tmp_path):
+    from vloam_tpu.config import ScanConfig
+    from vloam_tpu.data.gridding import grid_cloud
+
+    cfg = ScanConfig(ring_cap=512, max_points=65536, less_flat_cap=8192)
+    paths, grids = [], []
+    for i in range(4):
+        pts = _lidar_scan(seed=i).astype(np.float32)
+        xyzr = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+        p = tmp_path / f"{i:06d}.bin"
+        xyzr.tofile(p)
+        paths.append(str(p))
+        grids.append(grid_cloud(pts, cfg))
+
+    pf = native.NativePrefetcher(paths, None, max_points=cfg.max_points, scan_cfg=cfg)
+    for i, (grid, gmask, npr, img) in enumerate(pf.iter_grids()):
+        g_py, m_py, n_py = grids[i]
+        assert img is None
+        np.testing.assert_array_equal(gmask, m_py)
+        np.testing.assert_array_equal(npr, n_py)
+        np.testing.assert_allclose(grid, g_py, atol=1e-5)
+    pf.close()

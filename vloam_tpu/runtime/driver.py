@@ -103,6 +103,13 @@ class VloamDriver:
         cfg = self.cfg
         with self.timer.stage("host_grid"):
             grid, gmask, _ = grid_cloud(cloud.astype(np.float32), cfg.scan)
+        return self.process_grid(image, grid, gmask)
+
+    def process_grid(
+        self, image: np.ndarray | None, grid: np.ndarray, gmask: np.ndarray
+    ) -> VloamOutputs:
+        """Feed a pre-built ring grid (native prefetcher grid mode)."""
+        cfg = self.cfg
         if image is None:
             img = np.zeros((cfg.visual.img_height, cfg.visual.img_width), np.float32)
         else:
@@ -220,6 +227,7 @@ def run_kitti(
     t_per_frame = []
 
     def frames():
+        """Yields (image, grid, gmask) — ring gridding runs in the loader."""
         if native.available():
             import os
 
@@ -233,18 +241,20 @@ def run_kitti(
             pf = native.NativePrefetcher(
                 bins, imgs, cfg.scan.max_points,
                 cfg.visual.img_height, cfg.visual.img_width,
+                scan_cfg=cfg.scan,
             )
-            for cloud, n, img in pf:
-                yield img, cloud[:n]
+            for grid, gmask, _, img in pf.iter_grids():
+                yield img, grid, gmask
             pf.close()
         else:
             for i in range(start, end):
                 f = sequence.frame(i)
-                yield f.image, f.cloud
+                grid, gmask, _ = grid_cloud(f.cloud, cfg.scan)
+                yield f.image, grid, gmask
 
-    for i, (img, cloud) in enumerate(frames()):
+    for i, (img, grid, gmask) in enumerate(frames()):
         t0 = time.perf_counter()
-        driver.process(img, cloud)
+        driver.process_grid(img, grid, gmask)
         t_per_frame.append(time.perf_counter() - t0)
         if verbose and i % 50 == 0:
             print(f"frame {start + i}  {t_per_frame[-1]*1e3:.1f} ms")

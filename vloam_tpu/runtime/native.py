@@ -34,10 +34,23 @@ def _load():
     lib.vh_prefetcher_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
     ]
     lib.vh_prefetcher_next.restype = ctypes.c_int
     lib.vh_prefetcher_next.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vh_prefetcher_next_grid.restype = ctypes.c_int
+    lib.vh_prefetcher_next_grid.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vh_grid_cloud.restype = ctypes.c_int
+    lib.vh_grid_cloud.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int),
     ]
     lib.vh_prefetcher_len.restype = ctypes.c_int
     lib.vh_prefetcher_len.argtypes = [ctypes.c_void_p]
@@ -59,6 +72,27 @@ def load_bin(path: str, max_points: int) -> tuple[np.ndarray, int]:
     if n < 0:
         raise IOError(f"vh_load_bin failed for {path}")
     return out, n
+
+
+def grid_cloud_native(pts: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C++ twin of data/gridding.grid_cloud (same semantics, same outputs)."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    R, C = cfg.n_scans, cfg.ring_cap
+    grid = np.zeros((R, C, 4), np.float32)
+    mask = np.zeros((R, C), np.uint8)
+    npr = np.zeros((R,), np.int32)
+    rc = lib.vh_grid_cloud(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pts.shape[0], pts.shape[1], R, C,
+        cfg.minimum_range, cfg.scan_period,
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        npr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if rc < 0:
+        raise ValueError(f"vh_grid_cloud failed rc={rc}")
+    return grid, mask.astype(bool), npr
 
 
 def load_png_gray(path: str, height: int, width: int) -> np.ndarray:
@@ -84,6 +118,7 @@ class NativePrefetcher:
         width: int = 0,
         depth: int = 3,
         n_threads: int = 2,
+        scan_cfg=None,        # ScanConfig: enables worker-thread ring gridding
     ):
         lib = _load()
         if lib is None:
@@ -92,10 +127,15 @@ class NativePrefetcher:
         self.max_points = max_points
         self.height, self.width = height, width
         self.with_images = img_paths is not None
+        self.scan_cfg = scan_cfg
         imgs = "\n".join(img_paths) if img_paths is not None else ""
         self._h = lib.vh_prefetcher_create(
             "\n".join(bin_paths).encode(), imgs.encode(),
             max_points, height, width, depth, n_threads,
+            scan_cfg.n_scans if scan_cfg else 0,
+            scan_cfg.ring_cap if scan_cfg else 0,
+            scan_cfg.minimum_range if scan_cfg else 0.0,
+            scan_cfg.scan_period if scan_cfg else 0.1,
         )
         self._len = lib.vh_prefetcher_len(self._h)
 
@@ -116,6 +156,29 @@ class NativePrefetcher:
             if rc < 0:
                 raise IOError(f"prefetcher frame failed rc={rc}")
             yield cloud.copy(), rc, (img.copy() if img is not None else None)
+
+    def iter_grids(self):
+        """Grid-mode stream: yields (grid (R,C,4), gmask (R,C), n_per_ring, image|None).
+        The ring gridding ran in the worker threads, overlapped with compute."""
+        assert self.scan_cfg is not None, "create the prefetcher with scan_cfg"
+        R, C = self.scan_cfg.n_scans, self.scan_cfg.ring_cap
+        grid = np.zeros((R, C, 4), np.float32)
+        mask = np.zeros((R, C), np.uint8)
+        npr = np.zeros((R,), np.int32)
+        img = (
+            np.zeros((self.height, self.width), np.float32) if self.with_images else None
+        )
+        for _ in range(self._len):
+            rc = self._lib.vh_prefetcher_next_grid(
+                self._h,
+                grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                npr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if img is not None else None,
+            )
+            if rc < 0:
+                raise IOError(f"prefetcher frame failed rc={rc}")
+            yield grid.copy(), mask.astype(bool), npr.copy(), (img.copy() if img is not None else None)
 
     def close(self):
         if self._h:
