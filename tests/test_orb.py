@@ -86,3 +86,35 @@ def test_vo_descriptor_mode_runs(blob_pair):
             jnp.array(proj), jnp.array(K, jnp.float32), cfg,
         )
     assert np.isfinite(np.asarray(pose)).all()
+
+
+def test_brief_descriptor_and_nn_crosscheck(blob_pair):
+    """Plain BRIEF + NN/cross-check matching (reference DescriptorType::BRIEF
+    + SelectType::NN, image_util.cpp:300-305,356-360) track a pure shift."""
+    img0, img1, shift = blob_pair
+    kp0, m0, _ = image_ops.detect_corners(jnp.array(img0), VC)
+    kp1, m1, _ = image_ops.detect_corners(jnp.array(img1), VC)
+    d0, dm0 = orb.orb_descriptors(jnp.array(img0), kp0, m0, VC, rotate=False)
+    d1, dm1 = orb.orb_descriptors(jnp.array(img1), kp1, m1, VC, rotate=False)
+    idx, ok = orb.match_descriptors(d0, dm0, d1, dm1, select="nn")
+    ok = np.asarray(ok)
+    assert ok.sum() > 50
+    dxy = np.asarray(kp1)[np.asarray(idx)[ok]] - np.asarray(kp0)[ok]
+    med = np.median(dxy, axis=0)
+    np.testing.assert_allclose(med, shift, atol=0.5)
+    # cross-check keeps only mutual matches: every matched train index unique
+    tr = np.asarray(idx)[ok]
+    assert len(np.unique(tr)) == len(tr)
+
+
+def test_fast_detector_finds_blobs(blob_pair):
+    img0, _, _ = blob_pair
+    cfg = dataclasses.replace(VC, detector_type="fast", fast_threshold=10.0)
+    kp, mask, resp = image_ops.detect_corners(jnp.array(img0), cfg)
+    assert int(np.asarray(mask).sum()) > 100
+    # FAST corners should land near high-gradient blob regions: their local
+    # Shi-Tomasi response must be far above the image median
+    st = np.asarray(image_ops.shi_tomasi_response(jnp.array(img0)))
+    kpi = np.asarray(kp[np.asarray(mask)]).astype(int)
+    vals = st[kpi[:, 1], kpi[:, 0]]
+    assert np.median(vals) > 10 * np.median(np.abs(st))

@@ -121,9 +121,12 @@ def vo_step(
         # (image_util.cpp:280-438).
         from vloam_tpu.ops import orb
 
-        desc, desc_mask = orb.orb_descriptors(img, pts, pts_mask, vc)
+        desc, desc_mask = orb.orb_descriptors(
+            img, pts, pts_mask, vc, rotate=(vc.descriptor_type == "orb")
+        )
         midx, mvalid = orb.match_descriptors(
-            state.prev_desc, state.prev_desc_mask, desc, desc_mask
+            state.prev_desc, state.prev_desc_mask, desc, desc_mask,
+            ratio=vc.match_ratio, select=vc.match_select,
         )
         curr_pts = jnp.take(pts, midx, axis=0)
         track_ok = mvalid

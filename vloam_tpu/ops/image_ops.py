@@ -75,11 +75,56 @@ def shi_tomasi_response(img: jax.Array, block_size: int = 5) -> jax.Array:
     return 0.5 * (tr - det_part)
 
 
+def fast_response(img: jax.Array, threshold: float = 20.0) -> jax.Array:
+    """FAST-9/16 corner response (reference alternative DetectorType::FAST,
+    image_util.cpp:83-87 via cv::FastFeatureDetector).
+
+    A pixel is a corner when >= 9 contiguous pixels on the radius-3 Bresenham
+    circle are all brighter than center+t or all darker than center-t; the
+    response is the summed threshold excess over the circle (the standard
+    non-max-suppression score).  Formulated as 16 static rolls + a circular
+    9-window AND — one fused VPU pass, no gathers.
+    """
+    # radius-3 Bresenham circle offsets (dy, dx), OpenCV ordering
+    offs = [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+            (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)]
+    circ = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dy, dx) in offs]
+    brighter = [c > img + threshold for c in circ]
+    darker = [c < img - threshold for c in circ]
+
+    def arc9(flags):
+        hit = jnp.zeros_like(flags[0])
+        for s in range(16):
+            run = flags[s]
+            for k in range(1, 9):
+                run = run & flags[(s + k) % 16]
+            hit = hit | run
+        return hit
+
+    is_corner = arc9(brighter) | arc9(darker)
+    excess = sum(jnp.maximum(jnp.abs(c - img) - threshold, 0.0) for c in circ)
+    return jnp.where(is_corner, excess, 0.0)
+
+
 def detect_corners(
     img: jax.Array, cfg: VisualConfig
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Shi-Tomasi corners -> fixed-size (max_corners, 2) xy + mask + response."""
-    resp = shi_tomasi_response(img, cfg.block_size)
+    """Corner detection -> fixed-size (max_corners, 2) xy + mask + response.
+
+    ``cfg.detector_type`` selects the response: "shitomasi" (the reference's
+    default goodFeaturesToTrack) or "fast" (FAST-9/16).  Selection (local-max
+    suppression at minDistance, quality gate, global top-k) is shared.
+    """
+    if cfg.detector_type == "shitomasi":
+        resp = shi_tomasi_response(img, cfg.block_size)
+        quality_gate = True
+    elif cfg.detector_type == "fast":
+        resp = fast_response(img, cfg.fast_threshold)
+        quality_gate = False            # FAST thresholds absolutely, not vs max
+    else:
+        raise ValueError(
+            f"unsupported detector_type={cfg.detector_type!r} (shitomasi|fast)"
+        )
     H, W = resp.shape
 
     # local-max suppression over a (2r+1)^2 window, r from minDistance;
@@ -97,7 +142,10 @@ def detect_corners(
         return out
 
     local_max = _shift_max(_shift_max(resp, 0), 1)
-    is_peak = (resp >= local_max) & (resp >= cfg.quality_level * jnp.max(resp))
+    if quality_gate:
+        is_peak = (resp >= local_max) & (resp >= cfg.quality_level * jnp.max(resp))
+    else:
+        is_peak = (resp >= local_max) & (resp > 0.0)
 
     # keep a safety border (gradients/window invalid at edges)
     b = cfg.block_size

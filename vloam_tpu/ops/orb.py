@@ -46,9 +46,13 @@ def orb_descriptors(
     pts: jax.Array,          # (N, 2)
     mask: jax.Array,         # (N,)
     cfg: VisualConfig,
+    rotate: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (descriptors (N, 8) uint32, valid (N,)).
 
+    ``rotate=True`` gives ORB (rotation-steered BRIEF via the intensity
+    centroid); ``rotate=False`` gives plain BRIEF (the reference's
+    DescriptorType::BRIEF alternative, image_util.cpp:300-305).
     Keypoints whose 32x32 patch leaves the image are invalidated (OpenCV
     drops border keypoints the same way)."""
     H, W = img.shape
@@ -69,11 +73,16 @@ def orb_descriptors(
     patches = _slice_patches(smooth, corner, PATCH)          # (N, 32, 32)
 
     # orientation: intensity centroid moments over the patch
-    ax = jnp.arange(PATCH, dtype=jnp.float32) - (half - 0.5)
-    m10 = jnp.einsum("nyx,x->n", patches, ax)
-    m01 = jnp.einsum("nyx,y->n", patches, ax)
-    theta = jnp.arctan2(m01, m10)
-    c, s = jnp.cos(theta), jnp.sin(theta)
+    if rotate:
+        ax = jnp.arange(PATCH, dtype=jnp.float32) - (half - 0.5)
+        m10 = jnp.einsum("nyx,x->n", patches, ax)
+        m01 = jnp.einsum("nyx,y->n", patches, ax)
+        theta = jnp.arctan2(m01, m10)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+    else:
+        n_pts = pts.shape[0]
+        c = jnp.ones((n_pts,), jnp.float32)
+        s = jnp.zeros((n_pts,), jnp.float32)
 
     # rotate the pattern per keypoint: (N, 256, 2) coords for both endpoints
     pat = jnp.asarray(_PAT)
@@ -112,14 +121,27 @@ def match_descriptors(
     desc0: jax.Array, mask0: jax.Array,     # query (prev frame)
     desc1: jax.Array, mask1: jax.Array,     # train (curr frame)
     ratio: float = 0.8,
+    select: str = "knn",
 ) -> tuple[jax.Array, jax.Array]:
-    """BF 2-NN + Lowe ratio test (image_util.cpp:407-430).
+    """Brute-force Hamming matching (image_util.cpp:347-438).
+
+    ``select="knn"`` is the reference's active path: 2-NN + Lowe 0.8 ratio
+    (SelectType::KNN, :407-430).  ``select="nn"`` is SelectType::NN with
+    cross-checking (cv::BFMatcher(crossCheck=true), :356-360): keep a match
+    only when it is mutually nearest.
 
     Returns (match_idx (N0,) into desc1, valid (N0,)).
     """
     x = desc0[:, None, :] ^ desc1[None, :, :]                # (N0, N1, 8)
     d = jnp.sum(_popcount32(x), axis=-1).astype(jnp.float32)
     d = jnp.where(mask1[None, :], d, 1e9)
+    if select == "nn":
+        d = jnp.where(mask0[:, None], d, 1e9)
+        fwd = jnp.argmin(d, axis=1)                          # (N0,)
+        bwd = jnp.argmin(d, axis=0)                          # (N1,)
+        best = jnp.take_along_axis(d, fwd[:, None], axis=1)[:, 0]
+        mutual = jnp.take(bwd, fwd) == jnp.arange(desc0.shape[0])
+        return fwd, mask0 & mutual & (best < 256.0)
     neg, idx = jax.lax.top_k(-d, 2)
     best, second = -neg[:, 0], -neg[:, 1]
     valid = mask0 & (best < ratio * second) & (best < 256.0)
