@@ -40,13 +40,54 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None, help="save pipeline state snapshots here")
     p.add_argument("--checkpoint-every", type=int, default=0, help="snapshot period in frames")
     p.add_argument("--resume", default=None, help="checkpoint path to resume from")
+    # launch-file parameter surface (vloam_main.launch:4-16,
+    # loam_velodyne_HDL_64_kitti.launch:3-16)
+    p.add_argument("--clahe", action="store_true", help="CLAHE pre-equalisation")
+    p.add_argument("--keypoint-nms", action="store_true", help="bucketed keypoint NMS")
+    p.add_argument("--descriptor-match", action="store_true",
+                   help="ORB descriptor matching instead of KLT (optical_flow_match=false)")
+    p.add_argument("--detector", choices=["shitomasi", "fast"], default="shitomasi")
+    p.add_argument("--remove-vo-outlier", type=float, default=None,
+                   help="pixel displacement gate (reference remove_VO_outlier)")
+    p.add_argument("--reset-vo-to-identity", action="store_true")
+    p.add_argument("--line-res", type=float, default=None, help="mapping_line_resolution")
+    p.add_argument("--plane-res", type=float, default=None, help="mapping_plane_resolution")
+    p.add_argument("--mapping-skip-frame", type=int, default=None)
+    p.add_argument("--verbose-level", type=int, default=1, help="loam_verbose_level")
+    p.add_argument("--debug-dir", default=None,
+                   help="dump keypoint/flow/depth debug PNGs here (replaces the "
+                        "visualize_depth / visualize_optical_flow rviz topics)")
+    p.add_argument("--debug-every", type=int, default=10)
     args = p.parse_args()
+
+    import dataclasses
 
     from vloam_tpu.config import hdl32, kitti_hdl64, vlp16
 
     cfg = {64: kitti_hdl64, 32: hdl32, 16: vlp16}[args.beams]()
     if args.couple:
         cfg = cfg.replace(detach_vo_lo=False)
+    vis_kw = {
+        "clahe": args.clahe,
+        "keypoint_nms": args.keypoint_nms,
+        "detector_type": args.detector,
+        "reset_vo_to_identity": args.reset_vo_to_identity,
+    }
+    if args.descriptor_match:
+        vis_kw["optical_flow_match"] = False
+    if args.remove_vo_outlier is not None:
+        vis_kw["remove_vo_outlier"] = args.remove_vo_outlier
+    cfg = cfg.replace(visual=dataclasses.replace(cfg.visual, **vis_kw),
+                      verbose_level=args.verbose_level)
+    map_kw = {}
+    if args.line_res is not None:
+        map_kw["line_resolution"] = args.line_res
+    if args.plane_res is not None:
+        map_kw["plane_resolution"] = args.plane_res
+    if args.mapping_skip_frame is not None:
+        map_kw["skip_frame"] = args.mapping_skip_frame
+    if map_kw:
+        cfg = cfg.replace(mapping=dataclasses.replace(cfg.mapping, **map_kw))
 
     from vloam_tpu.runtime.driver import run_kitti, run_synthetic
 
@@ -64,7 +105,8 @@ def main() -> None:
             seq = OdometrySequence(args.root, args.seq, with_images=not args.lidar_only)
         res = run_kitti(cfg, seq, out_dir=args.out, start=args.start, end=args.end,
                         verbose=not args.json, checkpoint_dir=args.checkpoint_dir,
-                        checkpoint_every=args.checkpoint_every, resume=args.resume)
+                        checkpoint_every=args.checkpoint_every, resume=args.resume,
+                        debug_dir=args.debug_dir, debug_every=args.debug_every)
     if args.json:
         print(json.dumps(res))
 

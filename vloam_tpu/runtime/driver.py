@@ -62,6 +62,8 @@ class VloamDriver:
         out_dir: str | None = None,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
+        debug_dir: str | None = None,
+        debug_every: int = 0,
     ):
         self.cfg = cfg
         self.ext = ext
@@ -70,6 +72,11 @@ class VloamDriver:
         self.count = 0
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.debug_dir = debug_dir
+        self.debug_every = debug_every
+        self._debug_prev = None
+        if debug_dir:
+            os.makedirs(debug_dir, exist_ok=True)
         # lidar frames arrive as host-built ring grids (data/gridding.py): the
         # O(N) ring ranking runs in the loader (overlapped with device compute
         # in the native prefetcher) instead of costing ~5 ms of the hot loop
@@ -105,6 +112,48 @@ class VloamDriver:
             grid, gmask, _ = grid_cloud(cloud.astype(np.float32), cfg.scan)
         return self.process_grid(image, grid, gmask)
 
+    def dump_debug(self, image: np.ndarray, grid: np.ndarray, gmask: np.ndarray) -> None:
+        """Write keypoint / optical-flow / lidar-depth debug PNGs for the
+        CURRENT frame (the reference's visualize_depth / visualize_optical_flow
+        rviz topics, visual_odometry.cpp:548-581) into debug_dir."""
+        import jax
+
+        from vloam_tpu.ops import image_ops
+        from vloam_tpu.ops.depth_map import project_cloud
+        from vloam_tpu.utils import visualize as viz
+
+        cfg = self.cfg
+        img = pad_image(image, cfg)
+        imj = jnp.array(img)
+        kp, kp_mask, _ = jax.jit(
+            lambda im: image_ops.detect_corners(im, cfg.visual)
+        )(imj)
+        viz.save_png(
+            os.path.join(self.debug_dir, f"keypoints_{self.count:06d}.png"),
+            viz.draw_keypoints(img, np.asarray(kp), np.asarray(kp_mask)),
+        )
+        if self._debug_prev is not None:
+            pimg, pkp, pmask = self._debug_prev
+            curr, ok = jax.jit(
+                lambda a, b, p, m: image_ops.lk_track_fb(a, b, p, m, cfg.visual)
+            )(jnp.array(pimg), imj, pkp, pmask)
+            viz.save_png(
+                os.path.join(self.debug_dir, f"flow_{self.count:06d}.png"),
+                viz.draw_flow(img, np.asarray(pkp), np.asarray(curr), np.asarray(ok)),
+            )
+        proj = self.ext.P_rect0 @ self.ext.R_rect0 @ self.ext.cam_T_velo
+        flat = jnp.array(grid.reshape(-1, 4)[:, :3])
+        fmask = jnp.array(gmask.reshape(-1))
+        uvz, ok = jax.jit(
+            lambda c, m: project_cloud(c, m, proj, cfg.visual)
+        )(flat, fmask)
+        uvz, ok = np.asarray(uvz), np.asarray(ok)
+        viz.save_png(
+            os.path.join(self.debug_dir, f"depth_{self.count:06d}.png"),
+            viz.draw_depth(img, uvz[:, :2], uvz[:, 2], ok),
+        )
+        self._debug_prev = (img, kp, kp_mask)
+
     def process_grid(
         self, image: np.ndarray | None, grid: np.ndarray, gmask: np.ndarray
     ) -> VloamOutputs:
@@ -114,6 +163,8 @@ class VloamDriver:
             img = np.zeros((cfg.visual.img_height, cfg.visual.img_width), np.float32)
         else:
             img = pad_image(image, cfg)
+        if self.debug_dir and self.debug_every and self.count % self.debug_every == 0:
+            self.dump_debug(img, np.asarray(grid), np.asarray(gmask))
         with self.timer.stage("vloam_step"):
             self.state, out = self._step(
                 self.state, jnp.array(img), jnp.array(grid), jnp.array(gmask)
@@ -210,6 +261,8 @@ def run_kitti(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: str | None = None,
+    debug_dir: str | None = None,
+    debug_every: int = 0,
 ):
     """Run the pipeline over a real KITTI sequence (raw or odometry layout).
 
@@ -220,7 +273,8 @@ def run_kitti(
 
     ext = extrinsics_from_calib(sequence.calib)
     driver = VloamDriver(cfg, ext, out_dir,
-                         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+                         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+                         debug_dir=debug_dir, debug_every=debug_every)
     if resume:
         start = driver.restore_checkpoint(resume)
     end = len(sequence) if end is None else min(end, len(sequence))
