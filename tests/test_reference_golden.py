@@ -23,20 +23,21 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _drive():
-    """Pick the drive with the longest saved MO trajectory (some drives only
-    stored short stubs)."""
+def _n_rows(path):
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for _ in f)
+
+
+def _drive(suffix="0"):
+    """Drive directory with the longest saved MO{suffix} trajectory (some
+    drives only stored short stubs)."""
     drives = sorted(d for d in os.listdir(_RESULTS) if "drive" in d)
     assert drives
-
-    def n_rows(d):
-        p = os.path.join(_RESULTS, d, "MO0.txt")
-        if not os.path.exists(p):
-            return 0
-        with open(p) as f:
-            return sum(1 for _ in f)
-
-    return os.path.join(_RESULTS, max(drives, key=n_rows))
+    return os.path.join(
+        _RESULTS, max(drives, key=lambda d: _n_rows(os.path.join(_RESULTS, d, f"MO{suffix}.txt")))
+    )
 
 
 def test_reference_trajectories_parse():
@@ -55,9 +56,9 @@ def test_reference_modes_self_consistent():
     """The reference's own MO vs LO on the same drive: identical start, same
     length, and the relative drift between them is bounded (they estimate the
     same trajectory).  Validates our evaluator end-to-end on real artifacts."""
-    d = _drive()
-    mo = load_kitti_trajectory(os.path.join(d, "MO0.txt"))
-    lo = load_kitti_trajectory(os.path.join(d, "LO0.txt"))
+    d = _drive(suffix="1")      # the detached-mode run stores the longest drive
+    mo = load_kitti_trajectory(os.path.join(d, "MO1.txt"))
+    lo = load_kitti_trajectory(os.path.join(d, "LO1.txt"))
     n = min(len(mo), len(lo))
     assert n > 100
     np.testing.assert_allclose(mo[0], lo[0], atol=1e-6)     # both rebased to cam0@start
