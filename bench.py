@@ -62,7 +62,11 @@ def main() -> None:
             (jnp.array(img), jnp.array(grid), jnp.array(gmask))
         )
 
-    step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg, pre_gridded=True))
+    # donated state => in-place cube-map updates (no per-frame copy)
+    step = jax.jit(
+        lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg, pre_gridded=True),
+        donate_argnums=0,
+    )
     state = init_vloam_state(cfg)
 
     # warm-up: compile + map bootstrap

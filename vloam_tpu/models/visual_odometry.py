@@ -43,14 +43,16 @@ class VoState(NamedTuple):
 def init_vo_state(cfg: VloamConfig) -> VoState:
     vc = cfg.visual
     bw, bh = bucket_shape(vc)
-    z = jnp.zeros((bw, bh), jnp.float32)
+    # four DISTINCT zero buffers: the state is donated in the hot jits, and
+    # donation rejects pytrees whose leaves alias the same buffer
+    z0, z1, z2, z3 = (jnp.zeros((bw, bh), jnp.float32) for _ in range(4))
     return VoState(
         prev_img=jnp.zeros((vc.img_height, vc.img_width), jnp.float32),
         prev_pts=jnp.zeros((vc.max_features, 2), jnp.float32),
         prev_pts_mask=jnp.zeros((vc.max_features,), bool),
         prev_desc=jnp.zeros((vc.max_features, 8), jnp.uint32),
         prev_desc_mask=jnp.zeros((vc.max_features,), bool),
-        prev_buckets=DepthBuckets(z, z, z, z),
+        prev_buckets=DepthBuckets(z0, z1, z2, z3),
         count=jnp.array(0, jnp.int32),
     )
 
@@ -171,3 +173,51 @@ def vo_step(
         count=state.count + 1,
     )
     return new_state, pose
+
+
+def solve_nls_2d_only(
+    prev_pts: jax.Array,       # (M, 2) pixel coords, previous frame
+    curr_pts: jax.Array,       # (M, 2) tracked positions, current frame
+    match_mask: jax.Array,     # (M,) valid-match mask
+    K: jax.Array,
+    cfg: VloamConfig,
+    pose0: jax.Array | None = None,
+) -> jax.Array:
+    """Epipolar-only GN solve — ``VisualOdometry::solveNls2dOnly``.
+
+    The reference declares this solver (visual_odometry.h:61) as the
+    depth-free variant of solveNlsAll; every match contributes only the
+    2D-2D epipolar residual (ceres_cost_function.h:151-189).  Translation
+    scale is unobservable; the returned pose carries the seed's scale (or
+    unit scale from identity).
+    """
+    vc = cfg.visual
+    K_inv = jnp.linalg.inv(K)
+    xb0 = _ray(K_inv, prev_pts)
+    xb1 = _ray(K_inv, curr_pts)
+    p0 = geo.pose_identity() if pose0 is None else pose0
+
+    def residuals(p):
+        return ((vo_factors.epipolar_22_residual(p, xb0, xb1), match_mask),)
+
+    return solve_pose_gn(residuals, p0, vc.max_iters, vc.huber_delta, vc.lm_lambda)
+
+
+def solve_ransac(
+    prev_pts: jax.Array,
+    curr_pts: jax.Array,
+    match_mask: jax.Array,
+    K: jax.Array,
+    n_hypotheses: int = 256,
+    thresh_px: float = 1.0,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Essential-matrix RANSAC pose — ``VisualOdometry::solveRANSAC``
+    (visual_odometry.cpp:234-299).  Returns (pose (7,), n_inliers); the
+    translation is unit-norm, as with cv::recoverPose.
+    """
+    from vloam_tpu.ops.epipolar import solve_ransac_pose
+
+    return solve_ransac_pose(
+        prev_pts, curr_pts, match_mask, K, n_hypotheses, thresh_px, seed
+    )

@@ -79,32 +79,38 @@ def vloam_step(
         flat_cloud, flat_mask = cloud[..., :3], cloud_mask
 
     # ---- Sec 1+3+4: visual odometry (vloam_main_node.cpp:147-174) ----------
-    proj = ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo
-    K = ext.P_rect0[:, :3]
-    vo_state, cam0_curr_T_cam0_last = vo_step(
-        state.vo, img, flat_cloud, flat_mask, proj, K, cfg,
-        lo_prior=state.cam0_curr_LOT_cam0_prev,
-    )
+    # jax.named_scope = the TicToc per-stage breakdown of the reference
+    # (lidar_odometry_mapping.cpp:95-175) as profiler trace annotations
+    with jax.named_scope("visual_odometry"):
+        proj = ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo
+        K = ext.P_rect0[:, :3]
+        vo_state, cam0_curr_T_cam0_last = vo_step(
+            state.vo, img, flat_cloud, flat_mask, proj, K, cfg,
+            lo_prior=state.cam0_curr_LOT_cam0_prev,
+        )
 
     # frame-graph conversion + world accumulation (vloam_main_node.cpp:176-181)
     velo_last_VOT_velo_curr = fg.vo_to_velo(cam0_curr_T_cam0_last, ext)
     world_VOT_base = fg.accumulate_world(state.world_VOT_base, velo_last_VOT_velo_curr)
 
     # ---- Sec 5: scan registration + LO + mapping (:186-190) ----------------
-    if pre_gridded:
-        feats = extract_features_from_grid(grid, gmask, n_per_ring, cfg.scan)
-    else:
-        feats = extract_features(flat_cloud, flat_mask, cfg.scan)
+    with jax.named_scope("scan_registration"):
+        if pre_gridded:
+            feats = extract_features_from_grid(grid, gmask, n_per_ring, cfg.scan)
+        else:
+            feats = extract_features(flat_cloud, flat_mask, cfg.scan)
 
-    vo_prior = None if cfg.detach_vo_lo else velo_last_VOT_velo_curr
-    lo_state, lo_delta, world_LOT_base = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)
+    with jax.named_scope("laser_odometry"):
+        vo_prior = None if cfg.detach_vo_lo else velo_last_VOT_velo_curr
+        lo_state, lo_delta, world_LOT_base = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)
 
     cam0_curr_LOT_cam0_prev = fg.lo_delta_to_cam0(lo_delta, ext)
 
-    mp_state, world_MOT_base = mapping_step(
-        state.mp, feats.less_sharp, feats.less_sharp_mask,
-        feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
-    )
+    with jax.named_scope("laser_mapping"):
+        mp_state, world_MOT_base = mapping_step(
+            state.mp, feats.less_sharp, feats.less_sharp_mask,
+            feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
+        )
 
     # ---- Sec 6: rebased trajectory rows (vloam_tf.cpp:84-160) --------------
     anchor = jnp.where(

@@ -80,8 +80,11 @@ class VloamDriver:
         # lidar frames arrive as host-built ring grids (data/gridding.py): the
         # O(N) ring ranking runs in the loader (overlapped with device compute
         # in the native prefetcher) instead of costing ~5 ms of the hot loop
+        # donate the state: the cube-map arrays (hundreds of MB) update
+        # in place instead of being copied every frame
         self._step = jax.jit(
-            lambda s, i, g, m: vloam_step(s, i, g, m, ext, cfg, pre_gridded=True)
+            lambda s, i, g, m: vloam_step(s, i, g, m, ext, cfg, pre_gridded=True),
+            donate_argnums=0,
         )
         self.writers = {}
         if out_dir is not None:
