@@ -98,18 +98,22 @@ class VisualConfig:
 
     img_height: int = 376             # padded KITTI gray left (raw 375/376 x 1241/1242)
     img_width: int = 1248             # padded to a lane-friendly multiple of 8
-    # Detector (image_util.h DetectorType; ShiTomasi is the active default,
-    # FAST the TPU-native alternative; BRISK/AKAZE/SIFT were OpenCV factory
-    # calls in the reference and are not reimplemented — see README)
-    detector_type: str = "shitomasi"  # "shitomasi" | "fast"
+    # Detector (image_util.h DetectorType): the full reference enum is
+    # available through vloam_tpu.image_util.det_keypoints —
+    # shitomasi | brisk | fast | orb | akaze | sift (ops/{image_ops,brisk,
+    # akaze,sift}.py).  The hot VO step dispatches shitomasi/fast inline.
+    detector_type: str = "shitomasi"
     fast_threshold: float = 20.0      # FAST-9/16 intensity threshold
     # Shi-Tomasi (image_util.cpp:16-58)
     block_size: int = 5
     min_distance: float = 7.5         # 1.5 * block_size
     max_corners: int = 1024
     quality_level: float = 0.03
-    # Descriptor + matcher (image_util.h DescriptorType/MatcherType/SelectType)
-    descriptor_type: str = "orb"      # "orb" (rotated BRIEF) | "brief"
+    # Descriptor + matcher (image_util.h DescriptorType/MatcherType/SelectType):
+    # full enum via vloam_tpu.image_util — descriptors brisk | orb | brief |
+    # akaze | freak | sift; the VO step dispatches orb/brief inline.
+    descriptor_type: str = "orb"
+    matcher_type: str = "bf"          # "bf" (exact) | "flann" (approx prefilter + rerank)
     match_select: str = "knn"         # "knn" (2-NN + 0.8 ratio) | "nn" (cross-check)
     match_ratio: float = 0.8          # Lowe ratio (image_util.cpp:417)
     # bucketed NMS (image_util.cpp:202-261)

@@ -146,3 +146,38 @@ def match_descriptors(
     best, second = -neg[:, 0], -neg[:, 1]
     valid = mask0 & (best < ratio * second) & (best < 256.0)
     return idx[:, 0], valid
+
+
+def match_descriptors_approx(
+    desc0: jax.Array, mask0: jax.Array,
+    desc1: jax.Array, mask1: jax.Array,
+    ratio: float = 0.8,
+    n_probe_words: int = 2,
+    rerank: int = 8,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """FLANN-equivalent approximate Hamming matcher (MatcherType::FLANN;
+    OpenCV FLANN uses LSH tables for binary descriptors,
+    image_util.cpp:366-378).
+
+    TPU-native analogue: Hamming distance on a seeded subset of
+    ``n_probe_words`` 32-bit words prefilters ``rerank`` candidates per
+    query (bit-sampling LSH), exact full-width Hamming re-ranks only those.
+    All fixed-shape; useful when descriptor width dominates (512-bit BRISK/
+    FREAK/AKAZE at large N)."""
+    W = desc0.shape[1]
+    probe = np.random.default_rng(seed).permutation(W)[:n_probe_words]
+    p = jnp.asarray(np.sort(probe))
+    x = jnp.take(desc0, p, 1)[:, None, :] ^ jnp.take(desc1, p, 1)[None, :, :]
+    d_pre = jnp.sum(_popcount32(x), axis=-1).astype(jnp.float32)
+    d_pre = jnp.where(mask1[None, :], d_pre, 1e9)
+    _, cand = jax.lax.top_k(-d_pre, rerank)                  # (N0, rerank)
+    c1 = jnp.take(desc1, cand, axis=0)                       # (N0, rerank, W)
+    d = jnp.sum(_popcount32(desc0[:, None, :] ^ c1), axis=-1).astype(jnp.float32)
+    d = jnp.where(jnp.take(mask1, cand), d, 1e9)
+    neg, order = jax.lax.top_k(-d, 2)
+    best, second = -neg[:, 0], -neg[:, 1]
+    idx = jnp.take_along_axis(cand, order[:, :1], axis=1)[:, 0]
+    max_ok = float(W * 32)
+    valid = mask0 & (best < ratio * second) & (best < max_ok)
+    return idx, valid
