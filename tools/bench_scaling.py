@@ -1,0 +1,111 @@
+"""Weak-scaling benchmark for distributed (cube-sharded) mapping.
+
+North star (BASELINE.json): >=70% weak-scaling efficiency for distributed
+mapping at >=2 hosts.  Weak scaling here means: per-shard work constant —
+each shard owns a constant slice of the cube map and runs NN association
+against a constant-size local candidate window, so total map capacity grows
+linearly with the shard count while step time should stay flat.  The only
+cross-shard traffic is the (S, M, k, 4) neighbour merge all_gather, whose
+per-shard payload is constant.
+
+Run on real multi-device hardware as-is; on a single-chip/CPU box it
+executes on a virtual host-platform mesh (set by --virtual, default 8) —
+the efficiency numbers are then only indicative (virtual devices share
+cores), but the harness, shardings, and collectives are identical.
+
+Prints one JSON line per shard count plus a summary efficiency line:
+  {"metric": "mapping_weak_scaling_eff_S", "value": ..., "vs_baseline": .../0.70}
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force a virtual CPU mesh of this many devices")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--queries", type=int, default=8192)
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vloam_tpu import geometry as geo
+    from vloam_tpu.config import kitti_hdl64
+    from vloam_tpu.models.laser_mapping import init_map_state
+    from vloam_tpu.parallel.mapping_shard import make_sharded_step
+
+    devices = jax.devices()
+    if len(devices) == 1 and not args.virtual:
+        print(json.dumps({"metric": "mapping_weak_scaling_eff", "value": None,
+                          "unit": "ratio", "note": "single device; rerun with --virtual 8"}))
+        return
+
+    cfg = kitti_hdl64()
+    rng = np.random.default_rng(0)
+    n_q = args.queries
+    corner_in = jnp.array(np.concatenate(
+        [rng.normal(0, 30, (n_q, 3)), np.ones((n_q, 1))], -1).astype(np.float32))
+    surf_in = jnp.array(np.concatenate(
+        [rng.normal(0, 30, (n_q, 3)), np.ones((n_q, 1))], -1).astype(np.float32))
+    cmask = jnp.ones((n_q,), bool)
+    smask = jnp.ones((n_q,), bool)
+    pose = geo.pose_identity()
+
+    shard_counts = [s for s in (1, 2, 4, 8) if s <= len(devices)]
+    times = {}
+    for S in shard_counts:
+        mesh = Mesh(np.array(devices[:S]), ("map",))
+        step = make_sharded_step(cfg, mesh)
+        state = init_map_state(cfg, n_shards=S)
+        spec_cube = NamedSharding(mesh, P("map"))
+        spec_rep = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda x: jax.device_put(
+                x, spec_cube if x.ndim and x.shape[0] == state.corner_pts.shape[0] else spec_rep
+            ),
+            state,
+        )
+        # bootstrap: two steps populate cubes + compile
+        state, _ = step(state, corner_in, cmask, surf_in, smask, pose)
+        state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
+        np.asarray(pw)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
+        np.asarray(pw)
+        dt = (time.perf_counter() - t0) / args.steps * 1e3
+        times[S] = dt
+        print(json.dumps({
+            "metric": f"mapping_sharded_step_ms_S{S}", "value": round(dt, 3),
+            "unit": "ms", "map_capacity_pts": int(state.corner_pts.shape[0])
+            * int(state.corner_pts.shape[1]),
+        }))
+
+    base = times[shard_counts[0]]
+    for S in shard_counts[1:]:
+        eff = base / times[S]
+        print(json.dumps({
+            "metric": f"mapping_weak_scaling_eff_S{S}", "value": round(eff, 3),
+            "unit": "ratio", "vs_baseline": round(eff / 0.70, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

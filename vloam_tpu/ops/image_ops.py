@@ -257,6 +257,69 @@ def _slice_patches_multi(imgs: jax.Array, corner: jax.Array, P: int) -> jax.Arra
     return jax.vmap(one)(corner)
 
 
+def _patch_sobel(patch: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Same separable smooth/diff taps as sobel_gradients, applied to a
+    (N, P, P) patch stack — pure VPU shift-adds, no extra HBM traffic.
+    Patch-edge pixels see wrapped taps, but the tracking window stays
+    >= klt_patch_slack px inside the patch, so they are never sampled."""
+    def conv(x, k, axis):
+        return k[0] * jnp.roll(x, 1, axis) + k[1] * x + k[2] * jnp.roll(x, -1, axis)
+
+    smooth = (0.25, 0.5, 0.25)
+    diff = (-0.5, 0.0, 0.5)
+    gx = conv(conv(patch, diff, 2), smooth, 1)
+    gy = conv(conv(patch, smooth, 2), diff, 1)
+    return gx, gy
+
+
+def _window_hessian(Ix: jax.Array, Iy: jax.Array, w: int, cfg: VisualConfig):
+    """Inverse of the 2x2 structure tensor per feature + validity gate."""
+    gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+    gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+    gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / (w * w)
+    ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
+    safe_det = jnp.where(det > 1e-6, det, 1.0)
+    return gyy / safe_det, -gxy / safe_det, gxx / safe_det, ok_g
+
+
+def _gn_iterations(
+    patch: jax.Array,        # (N, P, P) image to track within
+    T: jax.Array,            # (N, w, w) fixed template window
+    Ix: jax.Array, Iy: jax.Array,   # template gradients
+    inv00, inv01, inv11,     # (N,) inverse Hessian entries
+    xs0: jax.Array, ys0: jax.Array,  # (N, w) window tap base coords in patch space
+    flow: jax.Array,         # (N, 2) initial flow (patch-space displacement)
+    gate: jax.Array,         # (N,) features allowed to move
+    cfg: VisualConfig,
+    P: int,
+) -> jax.Array:
+    """The unrolled LK GN loop (see _lk_level comments): cv's EPS criterion
+    becomes a per-feature freeze mask; converged features take zero steps."""
+    def iter_body(carry, _):
+        fl, active = carry
+        Cw = _sample_windows(
+            patch, _tent_weights(ys0 + fl[:, 1:2], P), _tent_weights(xs0 + fl[:, 0:1], P)
+        )
+        diff = Cw - T
+        bx = jnp.sum(diff * Ix, axis=(1, 2))
+        by = jnp.sum(diff * Iy, axis=(1, 2))
+        dx = -(inv00 * bx + inv01 * by)
+        dy = -(inv01 * bx + inv11 * by)
+        step = jnp.stack([dx, dy], axis=-1)
+        step = jnp.where((gate & active)[:, None], step, 0.0)
+        still = jnp.max(jnp.abs(step), axis=-1) > cfg.klt_eps
+        return (fl + step, active & still), None
+
+    n = flow.shape[0]
+    (flow, _), _ = jax.lax.scan(
+        iter_body, (flow, jnp.ones((n,), bool)), None,
+        length=cfg.klt_iters, unroll=True,
+    )
+    return flow
+
+
 def _lk_level(
     pimg: jax.Array,
     cimg: jax.Array,
@@ -273,7 +336,6 @@ def _lk_level(
     P = 2 * ph
     offs1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
     n = p_lvl.shape[0]
-    gx, gy = sobel_gradients(pimg)
     H, W = pimg.shape
 
     def clip_corner(c):
@@ -287,17 +349,17 @@ def _lk_level(
     # flows far beyond the slack stay inside the slice
     corner_c = clip_corner(jnp.round(p_lvl + flow).astype(jnp.int32) - ph)
 
-    # ONE vmapped kernel for all four patch slices (gather launches are
-    # the dominant cost of the whole tracker — batch them)
-    stack3 = jnp.stack([pimg, gx, gy])
-
+    # ONE vmapped kernel for both patch slices (gather launches are the
+    # dominant cost of the whole tracker — batch them, and keep the DMA
+    # volume minimal: template gradients are computed IN-PATCH below
+    # instead of slicing from full-image gradient planes)
     def slices(ci, cc):
-        tgg = jax.lax.dynamic_slice(stack3, (0, ci[1], ci[0]), (3, P, P))
+        tp = jax.lax.dynamic_slice(pimg, (ci[1], ci[0]), (P, P))
         cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
-        return tgg, cp
+        return tp, cp
 
-    TGG, Cp = jax.vmap(slices)(corner, corner_c)
-    Tp, Gxp, Gyp = TGG[:, 0], TGG[:, 1], TGG[:, 2]
+    Tp, Cp = jax.vmap(slices)(corner, corner_c)
+    Gxp, Gyp = _patch_sobel(Tp)
 
     # template window (fixed per level): patch-space coords of the window taps
     tx0 = p_lvl[:, 0] - corner[:, 0].astype(jnp.float32)
@@ -309,44 +371,14 @@ def _lk_level(
     T = _sample_windows(Tp, Wy0, Wx0)
     Ix = _sample_windows(Gxp, Wy0, Wx0)
     Iy = _sample_windows(Gyp, Wy0, Wx0)
-
-    gxx = jnp.sum(Ix * Ix, axis=(1, 2))
-    gxy = jnp.sum(Ix * Iy, axis=(1, 2))
-    gyy = jnp.sum(Iy * Iy, axis=(1, 2))
-    det = gxx * gyy - gxy * gxy
-    min_eig = 0.5 * (gxx + gyy - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy ** 2)) / (w * w)
-    ok_g = (det > 1e-6) & (min_eig > cfg.klt_min_eig * 255.0 ** 2 * 0.0001)
-    safe_det = jnp.where(det > 1e-6, det, 1.0)
-    inv00 = gyy / safe_det
-    inv01 = -gxy / safe_det
-    inv11 = gxx / safe_det
+    inv00, inv01, inv11, ok_g = _window_hessian(Ix, Iy, w, cfg)
 
     xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
     ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
 
-    # cv::TermCriteria::EPS becomes a PER-FEATURE freeze mask inside a
-    # statically unrolled loop: a while_loop's global-max convergence
-    # scalar serialises the device (each tiny iteration round-trips the
-    # condition), whereas the unrolled form lets XLA fuse and pipeline all
-    # klt_iters iterations.  Converged features simply take zero steps.
-    def iter_body(carry, _):
-        fl, active = carry
-        xs = xs0_c + fl[:, 0:1]
-        ys = ys0_c + fl[:, 1:2]
-        Cw = _sample_windows(Cp, _tent_weights(ys, P), _tent_weights(xs, P))
-        diff = Cw - T
-        bx = jnp.sum(diff * Ix, axis=(1, 2))
-        by = jnp.sum(diff * Iy, axis=(1, 2))
-        dx = -(inv00 * bx + inv01 * by)
-        dy = -(inv01 * bx + inv11 * by)
-        step = jnp.stack([dx, dy], axis=-1)
-        step = jnp.where((ok_g & status & active)[:, None], step, 0.0)
-        still = jnp.max(jnp.abs(step), axis=-1) > cfg.klt_eps
-        return (fl + step, active & still), None
-
-    (flow, _), _ = jax.lax.scan(
-        iter_body, (flow, jnp.ones((n,), bool)), None,
-        length=cfg.klt_iters, unroll=True,
+    flow = _gn_iterations(
+        Cp, T, Ix, Iy, inv00, inv01, inv11, xs0_c, ys0_c, flow,
+        ok_g & status, cfg, P,
     )
 
     tracked = p_lvl + flow
@@ -369,6 +401,96 @@ def _lk_level(
         )
         err = jnp.mean(jnp.abs(Cw - T), axis=(1, 2))
     return flow, status, err
+
+
+def _lk_level_fb(
+    pimg: jax.Array,
+    cimg: jax.Array,
+    p_lvl: jax.Array,
+    status: jax.Array,
+    flow: jax.Array,
+    cfg: VisualConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused forward + backward final level.
+
+    The backward consistency pass needs zero new gathers: its template is the
+    forward track's converged window (inside the already-sliced current-image
+    patch) and its search image is the already-sliced template patch — the
+    two patches simply swap roles.  Returns (flow, status, err, fb_err).
+    """
+    r = cfg.klt_window // 2
+    w = 2 * r + 1
+    ph = r + cfg.klt_patch_slack + 1
+    P = 2 * ph
+    offs1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    H, W = pimg.shape
+
+    def clip_corner(c):
+        return jnp.stack(
+            [jnp.clip(c[:, 0], 0, max(W - P, 0)), jnp.clip(c[:, 1], 0, max(H - P, 0))],
+            axis=-1,
+        )
+
+    corner = clip_corner(jnp.round(p_lvl).astype(jnp.int32) - ph)
+    corner_c = clip_corner(jnp.round(p_lvl + flow).astype(jnp.int32) - ph)
+
+    def slices(ci, cc):
+        tp = jax.lax.dynamic_slice(pimg, (ci[1], ci[0]), (P, P))
+        cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
+        return tp, cp
+
+    Tp, Cp = jax.vmap(slices)(corner, corner_c)
+    Gxp, Gyp = _patch_sobel(Tp)
+
+    # ---- forward (identical to _lk_level) ----------------------------------
+    xs0 = (p_lvl[:, 0] - corner[:, 0].astype(jnp.float32))[:, None] + offs1d
+    ys0 = (p_lvl[:, 1] - corner[:, 1].astype(jnp.float32))[:, None] + offs1d
+    Wx0, Wy0 = _tent_weights(xs0, P), _tent_weights(ys0, P)
+    T = _sample_windows(Tp, Wy0, Wx0)
+    Ix = _sample_windows(Gxp, Wy0, Wx0)
+    Iy = _sample_windows(Gyp, Wy0, Wx0)
+    inv00, inv01, inv11, ok_g = _window_hessian(Ix, Iy, w, cfg)
+
+    xs0_c = p_lvl[:, 0:1] + offs1d - corner_c[:, 0:1].astype(jnp.float32)
+    ys0_c = p_lvl[:, 1:2] + offs1d - corner_c[:, 1:2].astype(jnp.float32)
+    flow = _gn_iterations(
+        Cp, T, Ix, Iy, inv00, inv01, inv11, xs0_c, ys0_c, flow,
+        ok_g & status, cfg, P,
+    )
+
+    tracked = p_lvl + flow
+    inside = (
+        (tracked[:, 0] >= r) & (tracked[:, 0] < W - r - 1)
+        & (tracked[:, 1] >= r) & (tracked[:, 1] < H - r - 1)
+    )
+    in_patch = (
+        (xs0_c[:, 0] + flow[:, 0] >= 0.0) & (xs0_c[:, -1] + flow[:, 0] <= P - 1)
+        & (ys0_c[:, 0] + flow[:, 1] >= 0.0) & (ys0_c[:, -1] + flow[:, 1] <= P - 1)
+    )
+    status = status & inside & ok_g & in_patch
+
+    # forward photometric residual (also the backward template, T_b)
+    Wxb = _tent_weights(xs0_c + flow[:, 0:1], P)
+    Wyb = _tent_weights(ys0_c + flow[:, 1:2], P)
+    T_b = _sample_windows(Cp, Wyb, Wxb)
+    err = jnp.mean(jnp.abs(T_b - T), axis=(1, 2))
+
+    # ---- backward: roles swapped, patches reused ----------------------------
+    # Template gradients at the tracked window, sampled from Cp's in-patch
+    # Sobel planes with the same weights that produced T_b.
+    Gxc, Gyc = _patch_sobel(Cp)
+    Ixb = _sample_windows(Gxc, Wyb, Wxb)
+    Iyb = _sample_windows(Gyc, Wyb, Wxb)
+    b00, b01, b11, ok_b = _window_hessian(Ixb, Iyb, w, cfg)
+
+    # Backward search runs inside Tp; a zero backward flow lands exactly on
+    # the original feature position (taps xs0/ys0), so fb_err = |flow_b|^2.
+    flow_b = _gn_iterations(
+        Tp, T_b, Ixb, Iyb, b00, b01, b11, xs0, ys0,
+        jnp.zeros_like(flow), ok_b & status, cfg, P,
+    )
+    fb_err = jnp.sum(flow_b**2, axis=-1)
+    return flow, status & ok_b, err, fb_err
 
 
 def lk_track(
@@ -399,6 +521,17 @@ def lk_track(
     sliced from each image; every window resample inside the iteration loop
     is two batched interpolation matmuls over the patch (no gathers).
     """
+    flow, status = _coarse_flow(prev_img, curr_img, pts, mask, cfg, init_flow, skip_coarse)
+    flow, status, err = _lk_level(prev_img, curr_img, pts, status, flow, cfg, True)
+
+    if return_err:
+        return pts + flow, status, err
+    return pts + flow, status
+
+
+def _coarse_flow(prev_img, curr_img, pts, mask, cfg, init_flow, skip_coarse):
+    """The coarse pyramid levels of lk_track (see its docstring for the
+    runtime skip_coarse branching rationale)."""
     n = pts.shape[0]
     init = jnp.zeros((n, 2), jnp.float32) if init_flow is None else init_flow
     L = cfg.klt_levels
@@ -416,19 +549,10 @@ def lk_track(
         return flow, st
 
     if L == 0:
-        flow, status = init, mask
-    elif skip_coarse is None:
-        flow, status = run_coarse(None)
-    else:
-        flow, status = jax.lax.cond(
-            skip_coarse, lambda _: (init, mask), run_coarse, None
-        )
-
-    flow, status, err = _lk_level(prev_img, curr_img, pts, status, flow, cfg, True)
-
-    if return_err:
-        return pts + flow, status, err
-    return pts + flow, status
+        return init, mask
+    if skip_coarse is None:
+        return run_coarse(None)
+    return jax.lax.cond(skip_coarse, lambda _: (init, mask), run_coarse, None)
 
 
 def lk_track_fb(
@@ -447,19 +571,15 @@ def lk_track_fb(
     back from its forward estimate and requiring a sub-pixel return is a
     strictly stronger filter that costs one extra (fully parallel) LK pass.
     """
-    import dataclasses
-
-    curr_pts, st, err = lk_track(prev_img, curr_img, pts, mask, cfg, init_flow,
-                                 return_err=True, skip_coarse=skip_coarse)
     # The backward track starts from the exact inverse of the forward flow, so
     # it only needs a level-0 refinement: a good track returns in 1-2 GN steps
     # and a drifting one diverges past the threshold.  A backward pass seeded
     # at the answer cannot flag textureless windows (zero gradient => zero
     # steps => zero return error), so the photometric residual of the forward
     # track does that part: a genuinely matched window has low mean |I1-I0|.
-    back_cfg = dataclasses.replace(cfg, klt_levels=0)
-    back_pts, st_b = lk_track(curr_img, prev_img, curr_pts, st, back_cfg,
-                              pts - curr_pts)
-    fb_err = jnp.sum((back_pts - pts) ** 2, axis=-1)
-    ok = st & st_b & (fb_err < cfg.klt_fb_threshold**2) & (err < cfg.klt_max_err)
-    return curr_pts, ok
+    # Forward + backward share one fused level (_lk_level_fb): the backward
+    # pass reuses the forward pass's patch slices with roles swapped.
+    flow, status = _coarse_flow(prev_img, curr_img, pts, mask, cfg, init_flow, skip_coarse)
+    flow, status, err, fb_err = _lk_level_fb(prev_img, curr_img, pts, status, flow, cfg)
+    ok = status & (fb_err < cfg.klt_fb_threshold**2) & (err < cfg.klt_max_err)
+    return pts + flow, ok
