@@ -32,6 +32,8 @@ def main() -> None:
                     help="force a virtual CPU mesh of this many devices")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--queries", type=int, default=8192)
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunken map config (CPU/virtual-mesh smoke runs)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -58,6 +60,16 @@ def main() -> None:
         return
 
     cfg = kitti_hdl64()
+    if args.tiny:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mapping=dataclasses.replace(
+            cfg.mapping,
+            corner_cube_cap=128, surf_cube_cap=256,
+            corner_stack_cap=512, surf_stack_cap=1024,
+            submap_corner_cap=2048, submap_surf_cap=4096,
+        ))
+        args.queries = min(args.queries, 1024)
     rng = np.random.default_rng(0)
     n_q = args.queries
     corner_in = jnp.array(np.concatenate(
@@ -71,9 +83,15 @@ def main() -> None:
     shard_counts = [s for s in (1, 2, 4, 8) if s <= len(devices)]
     times = {}
     for S in shard_counts:
+        # weak scaling: the map GROWS with the fleet (grid_w x S) so every
+        # shard owns a constant cube slice; per-frame scan work is constant
+        import dataclasses
+
+        cfg_s = dataclasses.replace(cfg, mapping=dataclasses.replace(
+            cfg.mapping, grid_w=cfg.mapping.grid_w * S))
         mesh = Mesh(np.array(devices[:S]), ("map",))
-        step = make_sharded_step(cfg, mesh)
-        state = init_map_state(cfg, n_shards=S)
+        step = make_sharded_step(cfg_s, mesh)
+        state = init_map_state(cfg_s, n_shards=S)
         spec_cube = NamedSharding(mesh, P("map"))
         spec_rep = NamedSharding(mesh, P())
         state = jax.tree.map(
@@ -94,8 +112,9 @@ def main() -> None:
         times[S] = dt
         print(json.dumps({
             "metric": f"mapping_sharded_step_ms_S{S}", "value": round(dt, 3),
-            "unit": "ms", "map_capacity_pts": int(state.corner_pts.shape[0])
-            * int(state.corner_pts.shape[1]),
+            "unit": "ms",
+            "map_capacity_pts": int(state.corner_pts.shape[0]) * int(state.corner_pts.shape[1])
+            + int(state.surf_pts.shape[0]) * int(state.surf_pts.shape[1]),
         }))
 
     base = times[shard_counts[0]]

@@ -40,9 +40,23 @@ class VoState(NamedTuple):
     count: jax.Array            # () int32 frame counter
 
 
+def _desc_buffer_spec(vc) -> tuple[int, jnp.dtype]:
+    """Descriptor buffer (width, dtype) per family: ORB/BRIEF = 256-bit,
+    BRISK/FREAK/AKAZE = 512-bit binary; SIFT = 128-d float."""
+    t = vc.descriptor_type
+    if t in ("orb", "brief"):
+        return 8, jnp.uint32
+    if t in ("brisk", "freak", "akaze"):
+        return 16, jnp.uint32
+    if t == "sift":
+        return 128, jnp.float32
+    raise ValueError(f"unknown descriptor_type {t!r}")
+
+
 def init_vo_state(cfg: VloamConfig) -> VoState:
     vc = cfg.visual
     bw, bh = bucket_shape(vc)
+    dw, ddt = _desc_buffer_spec(vc)
     # four DISTINCT zero buffers: the state is donated in the hot jits, and
     # donation rejects pytrees whose leaves alias the same buffer
     z0, z1, z2, z3 = (jnp.zeros((bw, bh), jnp.float32) for _ in range(4))
@@ -50,7 +64,7 @@ def init_vo_state(cfg: VloamConfig) -> VoState:
         prev_img=jnp.zeros((vc.img_height, vc.img_width), jnp.float32),
         prev_pts=jnp.zeros((vc.max_features, 2), jnp.float32),
         prev_pts_mask=jnp.zeros((vc.max_features,), bool),
-        prev_desc=jnp.zeros((vc.max_features, 8), jnp.uint32),
+        prev_desc=jnp.zeros((vc.max_features, dw), ddt),
         prev_desc_mask=jnp.zeros((vc.max_features,), bool),
         prev_buckets=DepthBuckets(z0, z1, z2, z3),
         count=jnp.array(0, jnp.int32),
@@ -88,7 +102,18 @@ def vo_step(
         from vloam_tpu.ops.clahe import clahe as _clahe
 
         img = _clahe(img, vc.clahe_clip)
-    pts, pts_mask, resp = image_ops.detect_corners(img, vc)
+    if vc.detector_type in ("shitomasi", "fast"):
+        # hot path: single-scale corner detectors, inline
+        pts, pts_mask, resp = image_ops.detect_corners(img, vc)
+        kp_oct = jnp.zeros((vc.max_features,), jnp.int32)
+        kp_ang = jnp.zeros((vc.max_features,), jnp.float32)
+    else:
+        # scale-space families (BRISK/ORB/AKAZE/SIFT) via the ImageUtil facade
+        from vloam_tpu import image_util as iu
+
+        kp = iu.det_keypoints(img, vc.detector_type, vc)
+        pts, pts_mask, resp = kp.pts, kp.mask, kp.response
+        kp_oct, kp_ang = kp.octave, kp.angle
     if vc.keypoint_nms:
         pts_mask = image_ops.bucket_nms(pts, pts_mask, resp, vc)
 
@@ -118,18 +143,30 @@ def vo_step(
         desc = state.prev_desc          # unused in this mode
         desc_mask = state.prev_desc_mask
     else:
-        # Descriptor mode (the reference default): ORB on current corners,
-        # BF 2-NN + ratio matching against the previous frame's descriptors
-        # (image_util.cpp:280-438).
-        from vloam_tpu.ops import orb
+        # Descriptor mode (the reference default): describe current corners,
+        # match against the previous frame's descriptors (image_util.cpp:
+        # 280-438).  Full DescriptorType x MatcherType x SelectType dispatch
+        # via the ImageUtil facade; ORB/BRIEF short-circuit the hot path.
+        if vc.descriptor_type in ("orb", "brief") and vc.matcher_type == "bf":
+            from vloam_tpu.ops import orb
 
-        desc, desc_mask = orb.orb_descriptors(
-            img, pts, pts_mask, vc, rotate=(vc.descriptor_type == "orb")
-        )
-        midx, mvalid = orb.match_descriptors(
-            state.prev_desc, state.prev_desc_mask, desc, desc_mask,
-            ratio=vc.match_ratio, select=vc.match_select,
-        )
+            desc, desc_mask = orb.orb_descriptors(
+                img, pts, pts_mask, vc, rotate=(vc.descriptor_type == "orb")
+            )
+            midx, mvalid = orb.match_descriptors(
+                state.prev_desc, state.prev_desc_mask, desc, desc_mask,
+                ratio=vc.match_ratio, select=vc.match_select,
+            )
+        else:
+            from vloam_tpu import image_util as iu
+
+            kp_full = iu.Keypoints(pts, pts_mask, resp, kp_oct, kp_ang)
+            desc, desc_mask = iu.desc_keypoints(img, kp_full, vc.descriptor_type, vc)
+            midx, mvalid = iu.match(
+                state.prev_desc, state.prev_desc_mask, desc, desc_mask,
+                matcher_type=vc.matcher_type, select=vc.match_select,
+                ratio=vc.match_ratio,
+            )
         curr_pts = jnp.take(pts, midx, axis=0)
         track_ok = mvalid
     track_ok = track_ok & (state.count > 0)
