@@ -353,12 +353,9 @@ def _lk_level(
     # dominant cost of the whole tracker — batch them, and keep the DMA
     # volume minimal: template gradients are computed IN-PATCH below
     # instead of slicing from full-image gradient planes)
-    def slices(ci, cc):
-        tp = jax.lax.dynamic_slice(pimg, (ci[1], ci[0]), (P, P))
-        cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
-        return tp, cp
+    from vloam_tpu.ops.pallas_gather import gather_patches_pair
 
-    Tp, Cp = jax.vmap(slices)(corner, corner_c)
+    Tp, Cp = gather_patches_pair(pimg, cimg, corner, corner_c, P)
     Gxp, Gyp = _patch_sobel(Tp)
 
     # template window (fixed per level): patch-space coords of the window taps
@@ -434,12 +431,9 @@ def _lk_level_fb(
     corner = clip_corner(jnp.round(p_lvl).astype(jnp.int32) - ph)
     corner_c = clip_corner(jnp.round(p_lvl + flow).astype(jnp.int32) - ph)
 
-    def slices(ci, cc):
-        tp = jax.lax.dynamic_slice(pimg, (ci[1], ci[0]), (P, P))
-        cp = jax.lax.dynamic_slice(cimg, (cc[1], cc[0]), (P, P))
-        return tp, cp
+    from vloam_tpu.ops.pallas_gather import gather_patches_pair
 
-    Tp, Cp = jax.vmap(slices)(corner, corner_c)
+    Tp, Cp = gather_patches_pair(pimg, cimg, corner, corner_c, P)
     Gxp, Gyp = _patch_sobel(Tp)
 
     # ---- forward (identical to _lk_level) ----------------------------------
