@@ -315,19 +315,15 @@ def extract_features_from_grid(
         jnp.arange(R)[:, None], jnp.where(edge_valid, edge_slots, C).reshape(R, -1)
     ].set(True)[:, :C]
     lf_mask = gmask & ~edge_lab
-    # Per-ring batched downsample (PCL is called once per ring too,
-    # scan_registration.cpp:496-503): 64 short sorted rows beat one global
-    # 131k sort, and the ring grouping comes free.
-    ring_out_cap = min(C, max(cfg.less_flat_cap // R, 512))
-    lf_pts, lf_m = jax.vmap(
-        lambda g, m: voxel_downsample(
-            g, m, cfg.less_flat_voxel, ring_out_cap, max_grid=1024, presorted=True
-        )
-    )(grid, lf_mask)
-    from vloam_tpu.ops.knn import compact_rows
-
-    less_flat, less_flat_mask = compact_rows(
-        lf_pts, jnp.sum(lf_m, axis=1).astype(jnp.int32), cfg.less_flat_cap
+    # ONE flat run-merge over all rings (PCL is called once per ring,
+    # scan_registration.cpp:496-503; the ring group key reproduces that
+    # separation): a single segment reduction over R*C points beats R
+    # vmapped ones, and the compaction step disappears.
+    ring_id = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
+    less_flat, less_flat_mask = voxel_downsample(
+        grid.reshape(-1, 4), lf_mask.reshape(-1), cfg.less_flat_voxel,
+        cfg.less_flat_cap, group_key=ring_id.reshape(-1), max_grid=1024,
+        presorted=True,
     )
 
     return ScanFeatures(
