@@ -19,4 +19,16 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# This is a metric-scale geometry engine, not a neural net: matmuls carry
+# pixel coordinates (~1e3), world-frame points (km after long drives), and
+# Gauss-Newton normal equations.  The TPU default bf16 MXU pass loses
+# ~|value|^2 * 2^-8 per product — measured 67 m^2 error / 0.81 recall@5 in
+# the correspondence distances at +-60 m coords (ops/knn.py docstring).
+# f32 ("highest", 6-pass bf16 decomposition) is the only safe default;
+# tolerant hot spots (descriptor matching, image stencils) may opt down
+# explicitly via precision= at the call site.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from vloam_tpu.config import VloamConfig  # noqa: F401

@@ -19,10 +19,15 @@ _INF = jnp.float32(3.4e38)  # large finite sentinel (inf-safe for top_k)
 
 
 def pairwise_sqdist(query: jax.Array, cand: jax.Array) -> jax.Array:
-    """(M,3) x (N,3) -> (M,N) squared distances via one matmul."""
+    """(M,3) x (N,3) -> (M,N) squared distances via one matmul.
+
+    The cross term MUST run at f32 MXU precision: the TPU default (bf16
+    operands) loses ~|coord|^2 * 2^-8 per product — tens of m^2 at KITTI
+    coordinate scales, which silently corrupts every neighbour ranking
+    (measured: 67 m^2 max error, 0.81 recall@5 at ±60 m coords)."""
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)
     c2 = jnp.sum(cand * cand, axis=-1)[None, :]
-    cross = query @ cand.T  # MXU
+    cross = jnp.matmul(query, cand.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(q2 + c2 - 2.0 * cross, 0.0)
 
 
@@ -52,6 +57,14 @@ def knn(
     """
     m = query.shape[0]
     n = cand.shape[0]
+
+    # TPU: the fused pallas lane-min kernel keeps distance tiles in VMEM
+    # (no (M, N) HBM round trip) — ~1.8x the f32 XLA path at mapping sizes
+    # with the same approximate-recall contract (see ops/pallas_knn.py).
+    if (not exact and jax.default_backend() not in ("cpu", "gpu")
+            and n <= 65536 and k <= 128):
+        from vloam_tpu.ops.pallas_knn import knn_lanemin
+        return knn_lanemin(query, cand, cand_mask, k)
 
     if n <= block:
         d2 = pairwise_sqdist(query, cand)
@@ -94,6 +107,10 @@ def nn1(
     the (blocked) distance matrix is ~10x cheaper than a top_k full sort.
     """
     m, n = query.shape[0], cand.shape[0]
+    if jax.default_backend() not in ("cpu", "gpu") and n <= 65536:
+        from vloam_tpu.ops.pallas_knn import knn_lanemin
+        d2, idx = knn_lanemin(query, cand, cand_mask, 1)
+        return d2[:, 0], idx[:, 0]
     if n <= block:
         d2 = pairwise_sqdist(query, cand)
         d2 = jnp.where(cand_mask[None, :], d2, _INF)
