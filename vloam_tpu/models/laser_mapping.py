@@ -159,21 +159,25 @@ def fit_surf_planes(stack, stack_mask, nbr, d2, cfg):
     return stack[:, :3], n_unit, d, valid
 
 
-def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+def _corner_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg,
+                            cand_count=None, query_count=None):
     """5-NN + PCA line fit -> virtual edge endpoints (laser_mapping.cpp:545-604).
 
     Also returns the 1-NN squared distance (d2[:, 0]) so the insert-dedup
     gate can reuse it instead of paying another full distance pass."""
     q = geo.pose_apply(pose, stack[:, :3])
-    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
+    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors,
+                  cand_count=cand_count, query_count=query_count)
     nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
     return fit_corner_lines(stack, stack_mask, nbr, d2, cfg) + (d2[:, 0],)
 
 
-def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg):
+def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg,
+                          cand_count=None, query_count=None):
     """5-NN + least-squares plane fit A n = -1 (laser_mapping.cpp:626-699)."""
     q = geo.pose_apply(pose, stack[:, :3])
-    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors)
+    d2, idx = knn(q, cand[:, :3], cand_mask, cfg.mapping.n_neighbors,
+                  cand_count=cand_count, query_count=query_count)
     nbr = jnp.take(cand[:, :3], idx, axis=0)                # (M, 5, 3)
     return fit_surf_planes(stack, stack_mask, nbr, d2, cfg) + (d2[:, 0],)
 
@@ -304,14 +308,20 @@ def mapping_step(
     enough = (c_n > mc.min_map_corner) & (s_n > mc.min_map_surf)
 
     inf = jnp.float32(3.4e38)
+    # Dynamic valid-prefix lengths: the pallas knn skips tiles past these,
+    # so association cost tracks live submap/stack occupancy, not capacity.
+    cs_n = jnp.sum(cs_mask, dtype=jnp.int32)
+    ss_n = jnp.sum(ss_mask, dtype=jnp.int32)
 
     def optimize(pose):
         for _ in range(mc.outer_iters):
             p_e, a_e, b_e, v_e, nn_c = _corner_correspondences(
-                pose, corner_stack, cs_mask, c_pts, c_mask, cfg
+                pose, corner_stack, cs_mask, c_pts, c_mask, cfg,
+                cand_count=c_n, query_count=cs_n,
             )
             p_s, n_s, d_s, v_s, nn_s = _surf_correspondences(
-                pose, surf_stack, ss_mask, s_pts, s_mask, cfg
+                pose, surf_stack, ss_mask, s_pts, s_mask, cfg,
+                cand_count=s_n, query_count=ss_n,
             )
 
             def residuals(p):

@@ -49,11 +49,18 @@ def knn(
     k: int,
     block: int = 32768,
     exact: bool = False,
+    cand_count: jax.Array | None = None,
+    query_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest candidates per query: returns (sqdist (M,k), idx (M,k)).
 
     Invalid candidates never win (distance _INF).  If N <= block a single
     fused matmul+min_k is used, else a lax.scan with a running merge.
+
+    ``cand_count`` / ``query_count``: optional dynamic valid-prefix lengths
+    (prefix-compacted buffers only) — on TPU the pallas kernel skips tiles
+    past them, so time scales with occupancy rather than padded capacity.
+    Queries past ``query_count`` return d2 = NaN.
     """
     m = query.shape[0]
     n = cand.shape[0]
@@ -64,7 +71,8 @@ def knn(
     if (not exact and jax.default_backend() not in ("cpu", "gpu")
             and n <= 65536 and k <= 128):
         from vloam_tpu.ops.pallas_knn import knn_lanemin
-        return knn_lanemin(query, cand, cand_mask, k)
+        return knn_lanemin(query, cand, cand_mask, k,
+                           cand_count=cand_count, query_count=query_count)
 
     if n <= block:
         d2 = pairwise_sqdist(query, cand)
@@ -99,7 +107,8 @@ def knn(
 
 
 def nn1(
-    query: jax.Array, cand: jax.Array, cand_mask: jax.Array, block: int = 32768
+    query: jax.Array, cand: jax.Array, cand_mask: jax.Array, block: int = 32768,
+    cand_count: jax.Array | None = None, query_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Single nearest neighbour: (sqdist (M,), idx (M,)).
 
@@ -109,7 +118,8 @@ def nn1(
     m, n = query.shape[0], cand.shape[0]
     if jax.default_backend() not in ("cpu", "gpu") and n <= 65536:
         from vloam_tpu.ops.pallas_knn import knn_lanemin
-        d2, idx = knn_lanemin(query, cand, cand_mask, 1)
+        d2, idx = knn_lanemin(query, cand, cand_mask, 1,
+                              cand_count=cand_count, query_count=query_count)
         return d2[:, 0], idx[:, 0]
     if n <= block:
         d2 = pairwise_sqdist(query, cand)

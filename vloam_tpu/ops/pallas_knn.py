@@ -50,49 +50,63 @@ _GMASK = (1 << _GBITS) - 1
 SENTINEL = 1.0e6   # empty-candidate coordinate
 
 
-def _knn_kernel(q_ref, ct_ref, out_ref):
-    j = pl.program_id(1)
-    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]     # (TM, 1)
-    cx, cy, cz = ct_ref[0:1, :], ct_ref[1:2, :], ct_ref[2:3, :]  # (1, TN)
-    dx, dy, dz = qx - cx, qy - cy, qz - cz
-    d2 = dx * dx + dy * dy + dz * dz                    # (TM, TN), exact f32
-    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)  # >=0: int-ordered
-    n_groups = TN // _LANES
-    acc = None
-    for r in range(n_groups):
-        g = j * n_groups + r
-        key = (bits[:, r * _LANES:(r + 1) * _LANES] & ~_GMASK) | g
-        acc = key if acc is None else jnp.minimum(acc, key)
+def _knn_kernel(nt_ref, q_ref, ct_ref, out_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    active = (i < nt_ref[0]) & (j < nt_ref[1])
 
+    # Revisited output block: seed every lane with NaN-bit keys at j == 0 so
+    # query tiles past the valid count (whose compute is skipped entirely)
+    # still decode to d2 = NaN, which every downstream gate rejects.
     @pl.when(j == 0)
     def _():
-        out_ref[:] = acc
+        out_ref[:] = jnp.full_like(out_ref, jnp.iinfo(jnp.int32).max)
 
-    @pl.when(j > 0)
+    @pl.when(active)
     def _():
+        qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]     # (TM, 1)
+        cx, cy, cz = ct_ref[0:1, :], ct_ref[1:2, :], ct_ref[2:3, :]  # (1, TN)
+        dx, dy, dz = qx - cx, qy - cy, qz - cz
+        d2 = dx * dx + dy * dy + dz * dz                    # (TM, TN), exact f32
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)  # >=0: int-ordered
+        n_groups = TN // _LANES
+        acc = None
+        for r in range(n_groups):
+            g = j * n_groups + r
+            key = (bits[:, r * _LANES:(r + 1) * _LANES] & ~_GMASK) | g
+            acc = key if acc is None else jnp.minimum(acc, key)
         out_ref[:] = jnp.minimum(out_ref[:], acc)
 
 
 @jax.jit
-def _lanemin_keys(q: jax.Array, ct: jax.Array) -> jax.Array:
+def _lanemin_keys(q: jax.Array, ct: jax.Array, n_tiles: jax.Array) -> jax.Array:
+    """n_tiles: (2,) int32 = (valid query tiles, valid candidate tiles).
+
+    Tiles past the valid counts are skipped: their index maps clamp to the
+    last valid tile (Pallas elides the repeated-block DMA) and ``pl.when``
+    elides the compute, so kernel time scales with live occupancy rather
+    than padded capacity — the gathered submap buffers are usually mostly
+    padding (laser_mapping.h:113-122 sizes vs. post-voxel occupancy).
+    """
     m_pad, n_pad = q.shape[0], ct.shape[1]
     grid = (m_pad // TM, n_pad // TN)
     return pl.pallas_call(
         _knn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TM, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, _LANES), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, 8), lambda i, j, nt: (jnp.minimum(i, nt[0] - 1), 0)),
+                pl.BlockSpec((8, TN), lambda i, j, nt: (0, jnp.minimum(j, nt[1] - 1))),
+            ],
+            out_specs=pl.BlockSpec((TM, _LANES), lambda i, j, nt: (i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((m_pad, _LANES), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=9 * m_pad * n_pad,
             bytes_accessed=(m_pad + n_pad) * 32 + m_pad * _LANES * 4,
             transcendentals=0,
         ),
-    )(q, ct)
+    )(n_tiles, q, ct)
 
 
 def _pad_to(x: jax.Array, n: int, value: float) -> jax.Array:
@@ -108,17 +122,35 @@ def knn_lanemin(
     cand: jax.Array,        # (N, 3)
     cand_mask: jax.Array,   # (N,) bool
     k: int,
+    cand_count: jax.Array | None = None,   # () int32 valid-prefix length of cand
+    query_count: jax.Array | None = None,  # () int32 valid-prefix length of query
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest candidates per query: (sqdist (M, k), idx (M, k)).
 
     TPU-only (callers dispatch; ops/knn.py falls back to XLA elsewhere).
     Approximate per the lane-class contract in the module docstring.
+
+    ``cand_count`` / ``query_count`` are optional *dynamic* valid-prefix
+    lengths (buffers must be prefix-compacted, as the submap cache and
+    feature stacks are): tiles wholly past a count are skipped inside the
+    kernel, so time scales with occupancy, not capacity.  Queries past
+    ``query_count`` return d2 = NaN (all gates reject).
     """
     m, n = query.shape[0], cand.shape[0]
     m_pad = -(-m // TM) * TM
     n_pad = -(-n // TN) * TN
     assert n_pad <= _LANES * (1 << _GBITS), "N exceeds 9-bit group id space"
     assert k <= _LANES
+
+    def tiles(count, total_tiles, tile):
+        if count is None:
+            return jnp.int32(total_tiles)
+        c = jnp.clip((count.astype(jnp.int32) + tile - 1) // tile, 1, total_tiles)
+        return c.astype(jnp.int32)
+
+    n_tiles = jnp.stack(
+        [tiles(query_count, m_pad // TM, TM), tiles(cand_count, n_pad // TN, TN)]
+    )
 
     # Rebase to the candidate bounding-box centre: keeps the squared terms
     # small at the km-scale world coordinates of long KITTI sequences (the
@@ -134,7 +166,7 @@ def knn_lanemin(
     ct = jnp.full((8, n_pad), SENTINEL, jnp.float32).at[:3, :n].set(
         cc.astype(jnp.float32).T).at[3:, :].set(0.0)
 
-    keys = _lanemin_keys(q8, ct)[:m]                  # (M, 128) int32
+    keys = _lanemin_keys(q8, ct, n_tiles)[:m]         # (M, 128) int32
 
     neg, lane = jax.lax.top_k(-keys, k)               # smallest keys
     kk = -neg
