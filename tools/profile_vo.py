@@ -1,4 +1,6 @@
 """Sub-profile inside vo_step on the current accelerator."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax

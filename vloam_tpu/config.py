@@ -45,6 +45,9 @@ class OdometryConfig:
 
     distance_sq_threshold: float = 25.0  # laser_odometry.h:94
     nearby_scan: float = 2.5             # laser_odometry.h:95
+    assoc_k: int = 16                    # k-NN pool the ring-constrained picks
+                                         # are resolved from (ours; the ref's
+                                         # kd-tree scans have no such bound)
     outer_iters: int = 2                 # laser_odometry.cpp:224
     inner_iters: int = 4                 # ceres max_num_iterations (laser_odometry.cpp:503)
     huber_delta: float = 0.1             # HuberLoss(0.1) (laser_odometry.cpp:230)

@@ -21,7 +21,7 @@ from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.ops import lidar_factors
 from vloam_tpu.ops.gauss_newton import solve_pose_gn
-from vloam_tpu.ops.knn import masked_argmin, pairwise_sqdist
+from vloam_tpu.ops.knn import knn, masked_argmin
 from vloam_tpu.ops.scan_registration import ScanFeatures
 
 _INF = jnp.float32(3.4e38)
@@ -52,94 +52,61 @@ def init_lo_state(cfg: VloamConfig) -> LoState:
     )
 
 
-def _edge_correspondences(pose, sharp, sharp_mask, cand, cand_mask, cfg):
+def _ring_filtered_nn(pose, query, cand, cand_mask, cfg, cand_count=None):
+    """k-NN once, then resolve the ring-constrained picks from the list.
+
+    The reference's kd-tree passes (laser_odometry.cpp:282-459) want, per
+    query: the global nearest j, the nearest same-ring-as-j candidate != j,
+    and the nearest nearby-other-ring (|Δring| <= NEARBY_SCAN) candidate.
+    On a scan-structured cloud those are essentially always within the
+    global ``assoc_k``-NN (same-ring/adjacent-ring neighbours are the
+    closest points by construction), so one fused k-NN pass + a masked
+    min over the k list replaces three full argmin sweeps over (M, N).
+    Misses only lose a correspondence (valid gates reject), never corrupt.
+
+    Returns (d2_1, j1, d2_same, j_same, d2_other, j_other).
+    """
+    oc = cfg.odom
+    q = geo.pose_apply(pose, query[:, :3])
+    d2, idx = knn(q, cand[:, :3], cand_mask, oc.assoc_k, cand_count=cand_count)
+    ring_c = jnp.floor(cand[:, 3]).astype(jnp.int32)
+    ring_n = jnp.take(ring_c, idx)                           # (M, k)
+    ring1 = ring_n[:, 0]
+
+    d2_1, j1 = d2[:, 0], idx[:, 0]
+    same = (ring_n == ring1[:, None]).at[:, 0].set(False)
+    dring = jnp.abs(ring_n - ring1[:, None]).astype(jnp.float32)
+    other = (ring_n != ring1[:, None]) & (dring <= oc.nearby_scan)
+
+    d2_s, c_s = masked_argmin(d2, same)
+    d2_o, c_o = masked_argmin(d2, other)
+    j_s = jnp.take_along_axis(idx, c_s[:, None], axis=1)[:, 0]
+    j_o = jnp.take_along_axis(idx, c_o[:, None], axis=1)[:, 0]
+    return d2_1, j1, d2_s, j_s, d2_o, j_o
+
+
+def _edge_correspondences(pose, sharp, sharp_mask, cand, cand_mask, cfg,
+                          cand_count=None):
     """Point-to-line data: for each sharp point, closest cand + nearest
     cand on a different-but-nearby ring (laser_odometry.cpp:282-356)."""
     oc = cfg.odom
-    q = geo.pose_apply(pose, sharp[:, :3])
-    d2 = pairwise_sqdist(q, cand[:, :3])                      # (M, N)
-    d2 = jnp.where(cand_mask[None, :], d2, _INF)
-
-    d2_1, j1 = masked_argmin(d2, cand_mask[None, :])
-    ring_c = jnp.floor(cand[:, 3]).astype(jnp.int32)
-    ring_j = jnp.take(ring_c, j1)
-
-    near = jnp.abs(ring_c[None, :].astype(jnp.float32) - ring_j[:, None].astype(jnp.float32)) <= oc.nearby_scan
-    other = ring_c[None, :] != ring_j[:, None]
-    d2_2, j2 = masked_argmin(d2, cand_mask[None, :] & near & other)
-
+    d2_1, j1, _, _, d2_2, j2 = _ring_filtered_nn(
+        pose, sharp, cand, cand_mask, cfg, cand_count
+    )
     valid = sharp_mask & (d2_1 < oc.distance_sq_threshold) & (d2_2 < oc.distance_sq_threshold)
     a = jnp.take(cand[:, :3], j1, axis=0)
     b = jnp.take(cand[:, :3], j2, axis=0)
     return sharp[:, :3], a, b, valid
 
 
-def _plane_correspondences(pose, flat, flat_mask, cand, cand_mask, cfg, block: int = 8192):
+def _plane_correspondences(pose, flat, flat_mask, cand, cand_mask, cfg,
+                           cand_count=None):
     """Point-to-plane data: closest cand j, nearest same-ring cand l (!= j),
-    nearest nearby-other-ring cand m (laser_odometry.cpp:387-459).
-
-    Blocked over the candidate axis so the (M, N) distance matrix never
-    materialises for the large less-flat cloud.
-    """
+    nearest nearby-other-ring cand m (laser_odometry.cpp:387-459)."""
     oc = cfg.odom
-    m = flat.shape[0]
-    n = cand.shape[0]
-    assert n % block == 0
-    q = geo.pose_apply(pose, flat[:, :3])
-    ring_c = jnp.floor(cand[:, 3]).astype(jnp.int32)
-
-    def sweep(extra_mask_fn, carry_init, nbest):
-        """Generic blocked multi-argmin; extra_mask_fn(ring_b, idx_b) -> list of (M, B) masks."""
-        cand_b = cand[:, :3].reshape(n // block, block, 3)
-        maskc_b = cand_mask.reshape(n // block, block)
-        ring_b = ring_c.reshape(n // block, block)
-
-        def step(carry, inp):
-            cb, mb, rb, bidx = inp
-            d2 = pairwise_sqdist(q, cb)
-            idx_b = bidx * block + jnp.arange(block, dtype=jnp.int32)[None, :]
-            masks = extra_mask_fn(rb, idx_b)
-            out = []
-            for (bd, bi), extra in zip(carry, masks):
-                d2m = jnp.where(mb[None, :] & extra, d2, _INF)
-                dmin, jmin = masked_argmin(d2m, jnp.ones_like(d2m, bool))
-                take = dmin < bd
-                out.append((jnp.where(take, dmin, bd),
-                            jnp.where(take, bidx * block + jmin, bi)))
-            return tuple(out), None
-
-        carry, _ = jax.lax.scan(
-            step,
-            carry_init,
-            (cand_b, maskc_b, ring_b, jnp.arange(n // block, dtype=jnp.int32)),
-        )
-        return carry
-
-    # pass 1: unconstrained closest
-    ((d2_1, j1),) = sweep(
-        lambda rb, ib: [jnp.ones((m, block), bool)],
-        ((jnp.full((m,), _INF), jnp.zeros((m,), jnp.int32)),),
-        1,
+    d2_1, j1, d2_2, j2, d2_3, j3 = _ring_filtered_nn(
+        pose, flat, cand, cand_mask, cfg, cand_count
     )
-    ring_j = jnp.take(ring_c, j1)
-
-    # pass 2: same-ring (excluding j) and nearby-other-ring minima
-    def masks2(rb, ib):
-        same = (rb[None, :] == ring_j[:, None]) & (ib != j1[:, None])
-        nearby_other = (rb[None, :] != ring_j[:, None]) & (
-            jnp.abs(rb[None, :].astype(jnp.float32) - ring_j[:, None].astype(jnp.float32)) <= oc.nearby_scan
-        )
-        return [same, nearby_other]
-
-    (d2_2, j2), (d2_3, j3) = sweep(
-        masks2,
-        (
-            (jnp.full((m,), _INF), jnp.zeros((m,), jnp.int32)),
-            (jnp.full((m,), _INF), jnp.zeros((m,), jnp.int32)),
-        ),
-        2,
-    )
-
     thr = oc.distance_sq_threshold
     valid = flat_mask & (d2_1 < thr) & (d2_2 < thr) & (d2_3 < thr)
     pj = jnp.take(cand[:, :3], j1, axis=0)
@@ -165,6 +132,10 @@ def lo_step(
 
     pose0 = state.last_delta if vo_prior is None else vo_prior
 
+    # less-flat is prefix-compacted (voxel output) — its count drives the
+    # dynamic tile skip in the knn kernel; less-sharp is slot-structured.
+    surf_n = jnp.sum(state.last_surf_mask, dtype=jnp.int32)
+
     def solve(pose_init):
         pose = pose_init
         for _ in range(oc.outer_iters):
@@ -172,7 +143,8 @@ def lo_step(
                 pose, feats.sharp, feats.sharp_mask, state.last_corner, state.last_corner_mask, cfg
             )
             p_s, n_s, d_s, v_s = _plane_correspondences(
-                pose, feats.flat, feats.flat_mask, state.last_surf, state.last_surf_mask, cfg
+                pose, feats.flat, feats.flat_mask, state.last_surf, state.last_surf_mask, cfg,
+                cand_count=surf_n,
             )
 
             def residuals(p):
