@@ -220,11 +220,14 @@ def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg, slo
 
     dest_row = jnp.take(cnt, jnp.minimum(slot_s, nc - 1)) + rank
     ok = (slot_s < nc) & (dest_row < cap)
-    flat = jnp.where(ok, slot_s * cap + dest_row, nc * cap)
-    pts_flat = state_pts.reshape(-1, 4)
-    pts_flat = jnp.concatenate([pts_flat, jnp.zeros((1, 4), pts_flat.dtype)]).at[flat].set(
-        jnp.where(ok[:, None], pts_s, 0.0), mode="drop", unique_indices=True
-    )[:-1]
+    # Rejected points scatter to distinct out-of-bounds rows (mode="drop"
+    # discards them); scattering straight into the state buffer — instead of
+    # a scrap-row concatenate — avoids two full copies of the ~quarter-GB
+    # cube array and lets XLA update a donated buffer in place.
+    flat = jnp.where(ok, slot_s * cap + dest_row, nc * cap + idx)
+    pts_flat = state_pts.reshape(-1, 4).at[flat].set(
+        pts_s, mode="drop", unique_indices=True
+    )
     added = jax.ops.segment_sum(
         ok.astype(jnp.int32), jnp.minimum(slot_s, nc), num_segments=nc + 1,
         indices_are_sorted=True,
@@ -378,11 +381,10 @@ def mapping_step(
         def append(buf, n, pts_w, m):
             cap = buf.shape[0]
             rank = jnp.cumsum(m.astype(jnp.int32)) - m.astype(jnp.int32)
-            dest = jnp.where(m & (n + rank < cap), n + rank, cap)
-            buf = jnp.concatenate([buf, jnp.zeros((1, 4), buf.dtype)]).at[dest].set(
-                jnp.where((dest < cap)[:, None], pts_w, 0.0),
-                mode="drop", unique_indices=True,
-            )[:-1]
+            # distinct out-of-bounds rows for rejects (dropped by mode="drop")
+            dest = jnp.where(m & (n + rank < cap), n + rank,
+                             cap + jnp.arange(m.shape[0], dtype=jnp.int32))
+            buf = buf.at[dest].set(pts_w, mode="drop", unique_indices=True)
             return buf, jnp.minimum(n + jnp.sum(m, dtype=jnp.int32), cap)
 
         sub_c, sub_c_n = append(c_pts, c_n, corner_w, acc_c & in_window(corner_w))
