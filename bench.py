@@ -44,12 +44,15 @@ def main() -> None:
     pc0, hit = synthetic.raycast_camera(R_wc0, poses[0][1], boxes, K, uv0)
     blob_world = (pc0[hit] @ R_wc0.T) + poses[0][1]
 
-    # Frames are host-gridded (data/gridding.py), as in the production driver:
-    # the O(N) ring ranking runs inside the async loader overlapped with the
-    # previous frame's device step, so it is not part of the device hot loop
-    # (equivalently the reference runs all of ScanRegistration on CPU).
-    from vloam_tpu.data.gridding import grid_cloud
+    # Frames are host-gridded and host-bucketed (data/gridding.py), as in the
+    # production driver: the O(N) ring ranking and the lidar->camera depth
+    # buckets run inside the async loader overlapped with the previous frame's
+    # device step, so they are not part of the device hot loop (equivalently
+    # the reference runs ScanRegistration and the bucket build on CPU).
+    from vloam_tpu.data.gridding import depth_buckets, grid_cloud
+    from vloam_tpu.ops.depth_map import DepthBuckets
 
+    proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
     frames = []
     for i, (R, t) in enumerate(poses):
         cloud = synthetic.simulate_scan(R, t, boxes, n_azimuth=1800, noise=0.005, seed=i)
@@ -58,13 +61,19 @@ def main() -> None:
             (blob_world - t) @ R_wc, K, vc.img_height, vc.img_width
         )
         grid, gmask, _ = grid_cloud(cloud, cfg.scan)
+        bu, bv, bz, bc = depth_buckets(
+            grid.reshape(-1, 4), gmask.reshape(-1), proj, vc
+        )
+        buckets = DepthBuckets(jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc))
         frames.append(
-            (jnp.array(img), jnp.array(grid), jnp.array(gmask))
+            (jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets)
         )
 
     # donated state => in-place cube-map updates (no per-frame copy)
     step = jax.jit(
-        lambda s, i, c, m: vloam_step(s, i, c, m, ext, cfg, pre_gridded=True),
+        lambda s, i, c, m, b: vloam_step(
+            s, i, c, m, ext, cfg, pre_gridded=True, pre_buckets=b
+        ),
         donate_argnums=0,
     )
     state = init_vloam_state(cfg)

@@ -136,6 +136,55 @@ int vh_grid_cloud(const float* pts, int n, int stride, int n_scans, int ring_cap
 }
 
 // ---------------------------------------------------------------------------
+// Lidar -> camera depth buckets (the data-layer half of VO depth association)
+// ---------------------------------------------------------------------------
+
+// C++ twin of vloam_tpu/data/gridding.depth_buckets (itself pinned against
+// the device oracle ops.depth_map.{project_cloud, build_buckets}; semantics
+// of point_cloud_util.cpp:183-324): project the cloud through the (3, 4)
+// matrix proj = P_rect0 @ rect0_T_cam @ cam_T_velo, average hits into the
+// (bw, bh) pixel-bucket grid.  pts is n x stride float32 with xyz first;
+// mask may be null (all valid).  Outputs are 4 (bw * bh) float32 planes
+// (mean u, mean v, mean z, count).  Returns the number of bucketed points.
+int vh_depth_buckets(const float* pts, const unsigned char* mask, int n, int stride,
+                     const float* proj, int grid_px, int bw, int bh,
+                     float min_depth, float* u_out, float* v_out, float* z_out,
+                     float* cnt_out) {
+  const size_t nb = (size_t)bw * bh;
+  std::memset(u_out, 0, sizeof(float) * nb);
+  std::memset(v_out, 0, sizeof(float) * nb);
+  std::memset(z_out, 0, sizeof(float) * nb);
+  std::memset(cnt_out, 0, sizeof(float) * nb);
+  int total = 0;
+  for (int i = 0; i < n; ++i) {
+    if (mask && !mask[i]) continue;
+    const float x = pts[i * stride], y = pts[i * stride + 1], zc = pts[i * stride + 2];
+    const float pu = proj[0] * x + proj[1] * y + proj[2] * zc + proj[3];
+    const float pv = proj[4] * x + proj[5] * y + proj[6] * zc + proj[7];
+    const float pz = proj[8] * x + proj[9] * y + proj[10] * zc + proj[11];
+    if (!(pz > min_depth)) continue;
+    const float zs = pz > 1e-6f ? pz : 1e-6f;
+    const float u = pu / zs, v = pv / zs;
+    if (u < 0.0f || v < 0.0f) continue;
+    const int ix = (int)(u / grid_px), iy = (int)(v / grid_px);
+    if (ix < 0 || ix >= bw || iy < 0 || iy >= bh) continue;
+    const size_t b = (size_t)ix * bh + iy;
+    u_out[b] += u;
+    v_out[b] += v;
+    z_out[b] += pz;
+    cnt_out[b] += 1.0f;
+    ++total;
+  }
+  for (size_t b = 0; b < nb; ++b) {
+    const float c = cnt_out[b] > 1.0f ? cnt_out[b] : 1.0f;
+    u_out[b] /= c;
+    v_out[b] /= c;
+    z_out[b] /= c;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
 // Grayscale PNG
 // ---------------------------------------------------------------------------
 

@@ -39,3 +39,25 @@ def test_pre_gridded_features_match():
 
     for a, b, name in zip(f_raw, f_grid, f_raw._fields):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name)
+
+
+def test_host_buckets_match_device():
+    from vloam_tpu.config import VisualConfig
+    from vloam_tpu.data.gridding import depth_buckets
+    from vloam_tpu.models.frame_graph import kitti_default_extrinsics
+    from vloam_tpu.ops.depth_map import build_buckets, project_cloud
+
+    vc = VisualConfig()
+    ext = kitti_default_extrinsics()
+    proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
+    pts = _scan(seed=5)
+    padded, mask = synthetic.pad_cloud(pts, 65536)
+
+    uvz, ok = project_cloud(jnp.array(padded), jnp.array(mask), jnp.array(proj), vc)
+    dev = build_buckets(uvz, ok, vc)
+    hu, hv, hz, hc = depth_buckets(padded, mask, proj, vc)
+
+    np.testing.assert_allclose(np.asarray(dev.count), hc, atol=0)
+    np.testing.assert_allclose(np.asarray(dev.u), hu, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dev.v), hv, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dev.z), hz, atol=2e-3)

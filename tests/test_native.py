@@ -127,3 +127,25 @@ def test_prefetcher_grid_mode(tmp_path):
         np.testing.assert_array_equal(npr, n_py)
         np.testing.assert_allclose(grid, g_py, atol=1e-5)
     pf.close()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_depth_buckets_match_numpy():
+    from vloam_tpu.config import VisualConfig
+    from vloam_tpu.data.gridding import depth_buckets
+    from vloam_tpu.models.frame_graph import kitti_default_extrinsics
+
+    vc = VisualConfig()
+    ext = kitti_default_extrinsics()
+    proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo, np.float32)
+    rng = np.random.default_rng(4)
+    pts = rng.normal(0, 25, (20000, 3)).astype(np.float32)
+    mask = rng.random(20000) < 0.8
+
+    nu, nv, nz, nc = native.depth_buckets_native(pts, mask, proj, vc)
+    pu, pv, pz, pc = depth_buckets(pts, mask, proj, vc)
+
+    np.testing.assert_array_equal(nc, pc)
+    np.testing.assert_allclose(nu, pu, atol=2e-3)
+    np.testing.assert_allclose(nv, pv, atol=2e-3)
+    np.testing.assert_allclose(nz, pz, atol=2e-3)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from vloam_tpu.config import ScanConfig
+from vloam_tpu.config import ScanConfig, VisualConfig
 
 
 def grid_cloud(
@@ -89,3 +89,52 @@ def grid_cloud(
         gmask[rr, :n] = True
         n_per_ring[rr] = n
     return grid, gmask, n_per_ring
+
+
+def depth_buckets(
+    points: np.ndarray,      # (N, 3) velodyne cloud (or (N, >=3); extra cols ignored)
+    mask: np.ndarray,        # (N,) bool
+    proj: np.ndarray,        # (3, 4) = P_rect0 @ rect0_T_cam @ cam_T_velo
+    vc: VisualConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host twin of ops.depth_map.{project_cloud, build_buckets}.
+
+    The projection matrix is a per-sequence constant, so the lidar->camera
+    depth-bucket grid (point_cloud_util.cpp:183-324 semantics) depends only
+    on frame data — like the ring gridding above it runs in the data layer,
+    overlapped with device compute, instead of costing a 131k-point scatter
+    in the device hot loop.  Returns (u, v, z, count), each (BW, BH) f32 —
+    exactly what ``ops.depth_map.DepthBuckets`` holds.
+    """
+    pts = np.asarray(points, np.float32)[:, :3]
+    g = vc.downsample_grid
+    bw = -(-vc.img_width // g)
+    bh = -(-vc.img_height // g)
+
+    uvz = pts @ proj[:, :3].T + proj[:, 3]
+    z = uvz[:, 2]
+    ok = np.asarray(mask, bool) & (z > vc.min_projection_depth)
+    zs = np.maximum(z, 1e-6)
+    u = uvz[:, 0] / zs
+    v = uvz[:, 1] / zs
+    ok &= np.isfinite(u) & np.isfinite(v)
+    u = np.where(ok, u, 0.0)
+    v = np.where(ok, v, 0.0)
+    ix = (u / g).astype(np.int32)
+    iy = (v / g).astype(np.int32)
+    ok &= (u >= 0) & (v >= 0) & (ix >= 0) & (ix < bw) & (iy >= 0) & (iy < bh)
+
+    flat = np.where(ok, ix * bh + iy, bw * bh)
+    nb = bw * bh
+    wts = ok.astype(np.float32)
+    cnt = np.bincount(flat, weights=wts, minlength=nb + 1)[:nb]
+    su = np.bincount(flat, weights=u * wts, minlength=nb + 1)[:nb]
+    sv = np.bincount(flat, weights=v * wts, minlength=nb + 1)[:nb]
+    sz = np.bincount(flat, weights=z * wts, minlength=nb + 1)[:nb]
+    denom = np.maximum(cnt, 1.0)
+    return (
+        (su / denom).astype(np.float32).reshape(bw, bh),
+        (sv / denom).astype(np.float32).reshape(bw, bh),
+        (sz / denom).astype(np.float32).reshape(bw, bh),
+        cnt.astype(np.float32).reshape(bw, bh),
+    )

@@ -93,8 +93,14 @@ def vo_step(
     K: jax.Array,              # (3, 3) = P_rect0[:, :3]
     cfg: VloamConfig,
     lo_prior: jax.Array | None = None,   # (7,) cam0_curr_T_cam0_prev seed
+    pre_buckets: DepthBuckets | None = None,  # host-built depth buckets (data/gridding.py)
 ) -> tuple[VoState, jax.Array]:
-    """One VO frame.  Returns (new_state, cam0_curr_T_cam0_last pose)."""
+    """One VO frame.  Returns (new_state, cam0_curr_T_cam0_last pose).
+
+    ``pre_buckets``: the lidar->camera depth-bucket grid for the CURRENT
+    cloud, pre-built by the host data layer (the projection matrix is a
+    per-sequence constant, so this is frame data, not model state); the
+    device then skips the 131k-point projection + bucket scatter."""
     vc = cfg.visual
 
     # --- frontend -----------------------------------------------------------
@@ -198,8 +204,11 @@ def vo_step(
     pose = jnp.where((state.count > 0) & enough, solved, pose0)
 
     # --- roll state ---------------------------------------------------------
-    uvz, ok = project_cloud(cloud, cloud_mask, proj, vc)
-    buckets = build_buckets(uvz, ok, vc)
+    if pre_buckets is None:
+        uvz, ok = project_cloud(cloud, cloud_mask, proj, vc)
+        buckets = build_buckets(uvz, ok, vc)
+    else:
+        buckets = pre_buckets
     new_state = VoState(
         prev_img=img,
         prev_pts=pts,

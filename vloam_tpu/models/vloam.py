@@ -66,10 +66,13 @@ def vloam_step(
     ext: fg.Extrinsics,
     cfg: VloamConfig,
     pre_gridded: bool = False,
+    pre_buckets=None,         # DepthBuckets built by the host data layer
 ) -> tuple[VloamState, VloamOutputs]:
     """One coupled frame.  With ``pre_gridded=True`` the lidar inputs are the
     host-built ring grid (data/gridding.py) — the device skips organize_scan
-    (the O(N) ring ranking the host does for free inside the prefetcher)."""
+    (the O(N) ring ranking the host does for free inside the prefetcher).
+    ``pre_buckets`` likewise moves the VO depth-bucket build
+    (data/gridding.depth_buckets) into the host data layer."""
     if pre_gridded:
         grid, gmask = cloud, cloud_mask
         n_per_ring = jnp.sum(gmask, axis=1).astype(jnp.int32)
@@ -86,7 +89,7 @@ def vloam_step(
         K = ext.P_rect0[:, :3]
         vo_state, cam0_curr_T_cam0_last = vo_step(
             state.vo, img, flat_cloud, flat_mask, proj, K, cfg,
-            lo_prior=state.cam0_curr_LOT_cam0_prev,
+            lo_prior=state.cam0_curr_LOT_cam0_prev, pre_buckets=pre_buckets,
         )
 
     # frame-graph conversion + world accumulation (vloam_main_node.cpp:176-181)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.data import synthetic
-from vloam_tpu.data.gridding import grid_cloud
+from vloam_tpu.data.gridding import depth_buckets, grid_cloud
 from vloam_tpu.models import frame_graph as fg
 from vloam_tpu.models.vloam import VloamOutputs, init_vloam_state, vloam_step
 from vloam_tpu.utils.profiling import StageTimer
@@ -83,9 +83,12 @@ class VloamDriver:
         # donate the state: the cube-map arrays (hundreds of MB) update
         # in place instead of being copied every frame
         self._step = jax.jit(
-            lambda s, i, g, m: vloam_step(s, i, g, m, ext, cfg, pre_gridded=True),
+            lambda s, i, g, m, b: vloam_step(
+                s, i, g, m, ext, cfg, pre_gridded=True, pre_buckets=b
+            ),
             donate_argnums=0,
         )
+        self._proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
         self.writers = {}
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
@@ -168,9 +171,26 @@ class VloamDriver:
             img = pad_image(image, cfg)
         if self.debug_dir and self.debug_every and self.count % self.debug_every == 0:
             self.dump_debug(img, np.asarray(grid), np.asarray(gmask))
+        with self.timer.stage("host_buckets"):
+            # VO depth buckets built host-side (overlapped with the device's
+            # previous frame under async dispatch), like the ring gridding
+            from vloam_tpu.ops.depth_map import DepthBuckets
+            from vloam_tpu.runtime import native
+
+            flat = np.asarray(grid).reshape(-1, 4)
+            fmask = np.asarray(gmask).reshape(-1)
+            if native.available():
+                bu, bv, bz, bc = native.depth_buckets_native(
+                    flat, fmask, self._proj, cfg.visual
+                )
+            else:
+                bu, bv, bz, bc = depth_buckets(flat, fmask, self._proj, cfg.visual)
+            buckets = DepthBuckets(
+                jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc)
+            )
         with self.timer.stage("vloam_step"):
             self.state, out = self._step(
-                self.state, jnp.array(img), jnp.array(grid), jnp.array(gmask)
+                self.state, jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets
             )
             out.mo_pose.block_until_ready()
         if self.writers:

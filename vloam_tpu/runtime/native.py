@@ -52,6 +52,15 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.vh_depth_buckets.restype = ctypes.c_int
+    lib.vh_depth_buckets.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.vh_prefetcher_len.restype = ctypes.c_int
     lib.vh_prefetcher_len.argtypes = [ctypes.c_void_p]
     lib.vh_prefetcher_destroy.argtypes = [ctypes.c_void_p]
@@ -93,6 +102,39 @@ def grid_cloud_native(pts: np.ndarray, cfg) -> tuple[np.ndarray, np.ndarray, np.
     if rc < 0:
         raise ValueError(f"vh_grid_cloud failed rc={rc}")
     return grid, mask.astype(bool), npr
+
+
+def depth_buckets_native(
+    pts: np.ndarray, mask: np.ndarray | None, proj: np.ndarray, vc
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """C++ twin of data/gridding.depth_buckets (same outputs)."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    proj = np.ascontiguousarray(proj, np.float32)
+    g = vc.downsample_grid
+    bw = -(-vc.img_width // g)
+    bh = -(-vc.img_height // g)
+    u = np.zeros((bw, bh), np.float32)
+    v = np.zeros((bw, bh), np.float32)
+    z = np.zeros((bw, bh), np.float32)
+    c = np.zeros((bw, bh), np.float32)
+    m = None
+    if mask is not None:
+        mask8 = np.ascontiguousarray(mask, np.uint8)  # keep a ref past the call
+        m = mask8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    rc = lib.vh_depth_buckets(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m,
+        pts.shape[0], pts.shape[1],
+        proj.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        g, bw, bh, vc.min_projection_depth,
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise ValueError(f"vh_depth_buckets failed rc={rc}")
+    return u, v, z, c
 
 
 def load_png_gray(path: str, height: int, width: int) -> np.ndarray:
