@@ -45,3 +45,18 @@ def test_coupled_mode_runs(tmp_path):
                         n_azimuth=700, verbose=False)
     assert res["final_err_mo_m"] < 0.1
     assert os.path.exists(os.path.join(tmp_path, "MO0.txt"))  # suffix 0 = coupled
+
+
+@pytest.mark.slow
+def test_mapping_skip_frame(tmp_path):
+    """skip_frame=2: mapping registers every other frame; skipped frames get
+    the propagated wmap_wodom o wodom pose (laser_mapping.cpp:184-208) and
+    accuracy stays within loose bounds."""
+    import dataclasses
+
+    cfg = CFG.replace(mapping=dataclasses.replace(CFG.mapping, skip_frame=2))
+    res = run_synthetic(cfg, n_frames=5, speed=0.8, out_dir=str(tmp_path),
+                        n_azimuth=700, verbose=False)
+    assert res["final_err_mo_m"] < 0.2
+    traj = load_kitti_trajectory(os.path.join(tmp_path, "MO1.txt"))
+    assert traj.shape == (5, 3, 4)

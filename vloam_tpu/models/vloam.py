@@ -110,10 +110,27 @@ def vloam_step(
     cam0_curr_LOT_cam0_prev = fg.lo_delta_to_cam0(lo_delta, ext)
 
     with jax.named_scope("laser_mapping"):
-        mp_state, world_MOT_base = mapping_step(
-            state.mp, feats.less_sharp, feats.less_sharp_mask,
-            feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
-        )
+        if cfg.mapping.skip_frame > 1:
+            # mapping_skip_frame > 1: register only every Nth frame; skipped
+            # frames get the high-frequency propagated pose wmap_wodom o wodom
+            # (laser_mapping.cpp:184-208, 824-862).
+            def run(_):
+                return mapping_step(
+                    state.mp, feats.less_sharp, feats.less_sharp_mask,
+                    feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
+                )
+
+            def skip(_):
+                return state.mp, geo.pose_compose(state.mp.wmap_wodom, world_LOT_base)
+
+            mp_state, world_MOT_base = jax.lax.cond(
+                state.count % cfg.mapping.skip_frame == 0, run, skip, None
+            )
+        else:
+            mp_state, world_MOT_base = mapping_step(
+                state.mp, feats.less_sharp, feats.less_sharp_mask,
+                feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
+            )
 
     # ---- Sec 6: rebased trajectory rows (vloam_tf.cpp:84-160) --------------
     anchor = jnp.where(
