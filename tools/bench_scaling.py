@@ -45,6 +45,15 @@ def main() -> None:
 
     import numpy as np
     import jax
+
+    if args.virtual:
+        # A site-wide TPU plugin (axon) may have pinned jax_platforms at
+        # interpreter startup; override before any backend initializes so the
+        # virtual host-platform device count takes effect (see tests/conftest).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -84,6 +84,11 @@ def query_depth(
     oy, ox = jnp.meshgrid(dx, dx, indexing="ij")
     offs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)   # (25, 2) (dx, dy)
 
+    # One plane-interleaved gather instead of four: TPU gathers are serial
+    # row loads, so cost scales with gathered rows, not row bytes — fetching
+    # (u, v, z, count) 4-vectors per neighbour quarters the gather time.
+    planes = jnp.stack([buckets.u, buckets.v, buckets.z, buckets.count], axis=-1)
+
     def one(pt):
         ix = (pt[0] / g).astype(jnp.int32)
         iy = (pt[1] / g).astype(jnp.int32)
@@ -92,11 +97,9 @@ def query_depth(
         inside = (nx >= 0) & (nx < bw) & (ny >= 0) & (ny < bh)
         nxc = jnp.clip(nx, 0, bw - 1)
         nyc = jnp.clip(ny, 0, bh - 1)
-        cnt = buckets.count[nxc, nyc]
+        vals = planes[nxc, nyc]                    # (25, 4)
+        bu, bv, bz, cnt = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
         occ = inside & (cnt > 0)
-        bu = buckets.u[nxc, nyc]
-        bv = buckets.v[nxc, nyc]
-        bz = buckets.z[nxc, nyc]
         dist = jnp.sqrt((pt[0] - bu) ** 2 + (pt[1] - bv) ** 2)
         dist = jnp.where(occ, dist, jnp.float32(3.4e38))
         neg, idx = jax.lax.top_k(-dist, cfg.depth_knn)

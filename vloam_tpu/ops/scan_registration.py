@@ -245,52 +245,67 @@ def extract_features_from_grid(
         _top = lambda s: jax.lax.top_k(s, NCAND)
     else:
         _top = lambda s: jax.lax.approx_max_k(s, NCAND, recall_target=0.95)
+
+    # Suppression reach rides in the score's 6 low mantissa bits (3 bits each
+    # way; reach <= neighbor_suppression = 5), so the greedy rounds and the
+    # edge->flat cross-suppression never gather from the (R, C) reach grids —
+    # TPU gathers are serial row loads and were ~1 ms/frame of pure indexing.
+    # The perturbation is < 2^-17 relative, far below curvature noise.
+    _RB = 3
+    _RMASK = (1 << (2 * _RB)) - 1
+    reach_bits = (fwd << _RB) | bwd                            # (R, C) int32
+
+    def _pack(v):
+        return jax.lax.bitcast_convert_type(
+            (jax.lax.bitcast_convert_type(v, jnp.int32) & ~_RMASK) | reach_bits,
+            jnp.float32,
+        )
+
+    def _unpack(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return (bits >> _RB) & ((1 << _RB) - 1), bits & ((1 << _RB) - 1)
+
     score_e = jnp.where(
-        (selectable & (curv > edge_thr))[:, None, :] & sector_oh, curv[:, None, :], neg_inf
+        (selectable & (curv > edge_thr))[:, None, :] & sector_oh,
+        _pack(curv)[:, None, :], neg_inf,
     ).reshape(RS, C)
     ce_val, ce_col = _top(score_e)                             # (RS, 64) descending curvature
     score_f = jnp.where(
-        (selectable & (curv < surf_thr))[:, None, :] & sector_oh, -curv[:, None, :], neg_inf
+        (selectable & (curv < surf_thr))[:, None, :] & sector_oh,
+        _pack(-curv)[:, None, :], neg_inf,
     ).reshape(RS, C)
     cf_val, cf_col = _top(score_f)                             # ascending curvature
 
-    def cand_reach(cols):
-        f = fwd[ring_row[:, None], cols]
-        b = bwd[ring_row[:, None], cols]
-        return f, b
-
-    ce_f, ce_b = cand_reach(ce_col)
-    cf_f, cf_b = cand_reach(cf_col)
-
-    def greedy(vals, cols, fr, br, n_rounds):
+    def greedy(vals, cols, n_rounds):
         """n_rounds of pick-best + suppress over the candidate axis."""
         def body(t, carry):
-            sup, sel_col, sel_val = carry
+            sup, sel_col, sel_val, sel_f, sel_b = carry
             score = jnp.where(sup, neg_inf, vals)
             pick = jnp.argmax(score, axis=-1)                  # (RS,)
-            has = jnp.take_along_axis(score, pick[:, None], 1)[:, 0] > neg_inf
+            v_sel = jnp.take_along_axis(score, pick[:, None], 1)[:, 0]
+            has = v_sel > neg_inf
             col_sel = jnp.take_along_axis(cols, pick[:, None], 1)[:, 0]
-            f_sel = jnp.take_along_axis(fr, pick[:, None], 1)[:, 0]
-            b_sel = jnp.take_along_axis(br, pick[:, None], 1)[:, 0]
+            f_sel, b_sel = _unpack(v_sel)
             within = (cols >= (col_sel - b_sel)[:, None]) & (cols <= (col_sel + f_sel)[:, None])
             within = within | (cols == col_sel[:, None])
             sup = sup | (within & has[:, None])
             sel_col = sel_col.at[:, t].set(col_sel)
             sel_val = sel_val.at[:, t].set(has)
-            return sup, sel_col, sel_val
+            sel_f = sel_f.at[:, t].set(f_sel)
+            sel_b = sel_b.at[:, t].set(b_sel)
+            return sup, sel_col, sel_val, sel_f, sel_b
 
         sup0 = jnp.zeros((RS, NCAND), bool)
-        return jax.lax.fori_loop(
-            0, n_rounds, body,
-            (sup0, jnp.zeros((RS, n_rounds), jnp.int32), jnp.zeros((RS, n_rounds), bool)),
+        zi = jnp.zeros((RS, n_rounds), jnp.int32)
+        _, sel_col, sel_val, sel_f, sel_b = jax.lax.fori_loop(
+            0, n_rounds, body, (sup0, zi, jnp.zeros((RS, n_rounds), bool), zi, zi)
         )
+        return sel_col, sel_val, sel_f, sel_b
 
-    _, e_col, e_val = greedy(ce_val, ce_col, ce_f, ce_b, cfg.max_less_sharp)
+    e_col, e_val, e_fr, e_br = greedy(ce_val, ce_col, cfg.max_less_sharp)
 
     # edge picks suppress flat candidates within their reach (the shared
     # cloudNeighborPicked array of the reference)
-    e_fr = fwd[ring_row[:, None], e_col]
-    e_br = bwd[ring_row[:, None], e_col]
     cross = (
         (cf_col[:, :, None] >= (e_col - e_br)[:, None, :])
         & (cf_col[:, :, None] <= (e_col + e_fr)[:, None, :])
@@ -298,7 +313,7 @@ def extract_features_from_grid(
     )
     cf_val = jnp.where(jnp.any(cross, axis=-1), neg_inf, cf_val)
 
-    _, f_col, f_val = greedy(cf_val, cf_col, cf_f, cf_b, cfg.max_flat)
+    f_col, f_val, _, _ = greedy(cf_val, cf_col, cfg.max_flat)
 
     edge_slots = e_col.reshape(R, S, cfg.max_less_sharp)
     edge_valid = e_val.reshape(R, S, cfg.max_less_sharp)
