@@ -107,4 +107,8 @@ def solve_pose_gn(
         delta = lm_step(jtj, jtr, lm_lambda)
         return pose_plus(pose, delta)
 
-    return jax.lax.fori_loop(0, iters, gn_iter, pose0)
+    # Fully unrolled: the GN iteration is ~30 tiny ops, so the while-loop's
+    # per-iteration condition/state overhead is a measurable slice of the
+    # 6-26 iterations each frame runs; unrolling also lets XLA fuse across
+    # iteration boundaries.
+    return jax.lax.fori_loop(0, iters, gn_iter, pose0, unroll=True)
