@@ -49,7 +49,7 @@ def main() -> None:
     # buckets run inside the async loader overlapped with the previous frame's
     # device step, so they are not part of the device hot loop (equivalently
     # the reference runs ScanRegistration and the bucket build on CPU).
-    from vloam_tpu.data.gridding import depth_buckets, grid_cloud
+    from vloam_tpu.data.gridding import depth_buckets, grid_cloud, less_flat_voxel_table
     from vloam_tpu.ops.depth_map import DepthBuckets
 
     proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
@@ -65,14 +65,16 @@ def main() -> None:
             grid.reshape(-1, 4), gmask.reshape(-1), proj, vc
         )
         buckets = DepthBuckets(jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc))
+        sg, bs, nr = less_flat_voxel_table(grid, gmask, cfg.scan)
+        lf = (jnp.array(sg), jnp.array(bs), jnp.array(nr, np.int32))
         frames.append(
-            (jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets)
+            (jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets, lf)
         )
 
     # donated state => in-place cube-map updates (no per-frame copy)
     step = jax.jit(
-        lambda s, i, c, m, b: vloam_step(
-            s, i, c, m, ext, cfg, pre_gridded=True, pre_buckets=b
+        lambda s, i, c, m, b, t: vloam_step(
+            s, i, c, m, ext, cfg, pre_gridded=True, pre_buckets=b, pre_lf_table=t
         ),
         donate_argnums=0,
     )

@@ -136,6 +136,61 @@ int vh_grid_cloud(const float* pts, int n, int stride, int n_scans, int ring_cap
 }
 
 // ---------------------------------------------------------------------------
+// Less-flat voxel run table (the data-layer half of the voxel reduction)
+// ---------------------------------------------------------------------------
+
+// C++ twin of vloam_tpu/data/gridding.less_flat_voxel_table (pinned against
+// the device oracle ops.voxel.voxel_downsample(presorted, group_key=ring)):
+// quantise valid ring-grid cells to voxel keys (p_min rebase, clip to
+// max_grid), find consecutive same-(key, ring) runs in flat grid order, and
+// accumulate per-run sums of xyzw plus a count column.  The device then only
+// subtracts the edge-labeled cells.  grid is (R*C, 4) float32 xyzw, mask
+// (R*C) uint8.  Outputs: slot_out (R*C) int32 (-1 invalid/overflow),
+// base_out (cap * 5) float32.  Returns the number of runs (<= cap).
+int vh_lf_voxel_table(const float* grid, const unsigned char* mask, int R, int C,
+                      float leaf, int cap, int max_grid,
+                      int* slot_out, float* base_out) {
+  const int n = R * C;
+  float pmin[3] = {1e30f, 1e30f, 1e30f};
+  for (int i = 0; i < n; ++i) {
+    if (!mask[i]) continue;
+    for (int d = 0; d < 3; ++d) pmin[d] = std::min(pmin[d], grid[i * 4 + d]);
+  }
+  std::memset(base_out, 0, sizeof(float) * (size_t)cap * 5);
+  long long prev_key = -1;
+  int prev_ring = -1, run = -1;
+  const float inv = 1.0f / leaf;
+  for (int i = 0; i < n; ++i) {
+    if (!mask[i]) {
+      slot_out[i] = -1;
+      prev_key = -1;  // invalid rows break runs (key -> INT_MAX in the oracle)
+      continue;
+    }
+    const int ring = i / C;
+    long long key = 0;
+    for (int d = 0; d < 3; ++d) {
+      int q = (int)std::floor((grid[i * 4 + d] - pmin[d]) * inv);
+      q = q < 0 ? 0 : (q >= max_grid ? max_grid - 1 : q);
+      key += (long long)q << (d * 10);  // max_grid <= 1024 = 2^10
+    }
+    if (key != prev_key || ring != prev_ring) {
+      ++run;
+      prev_key = key;
+      prev_ring = ring;
+    }
+    if (run < cap) {
+      slot_out[i] = run;
+      float* b = base_out + (size_t)run * 5;
+      for (int d = 0; d < 4; ++d) b[d] += grid[i * 4 + d];
+      b[4] += 1.0f;
+    } else {
+      slot_out[i] = -1;
+    }
+  }
+  return run + 1 > cap ? cap : run + 1;
+}
+
+// ---------------------------------------------------------------------------
 // Lidar -> camera depth buckets (the data-layer half of VO depth association)
 // ---------------------------------------------------------------------------
 

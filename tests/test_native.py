@@ -149,3 +149,23 @@ def test_native_depth_buckets_match_numpy():
     np.testing.assert_allclose(nu, pu, atol=2e-3)
     np.testing.assert_allclose(nv, pv, atol=2e-3)
     np.testing.assert_allclose(nz, pz, atol=2e-3)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_lf_voxel_table_matches_numpy():
+    from vloam_tpu.config import ScanConfig
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.data.gridding import grid_cloud, less_flat_voxel_table
+
+    cfg = ScanConfig(ring_cap=512, max_points=32768, less_flat_cap=8192)
+    pts = synthetic.simulate_scan(
+        np.eye(3), np.zeros(3), synthetic.default_scene(), n_azimuth=600, seed=2
+    )
+    g, m, _ = grid_cloud(pts, cfg)
+
+    ns, nb, nn = native.lf_voxel_table_native(g, m, cfg)
+    ps, pb, pn = less_flat_voxel_table(g, m, cfg)
+
+    assert nn == pn
+    np.testing.assert_array_equal(ns, ps)
+    np.testing.assert_allclose(nb, pb, rtol=1e-5, atol=1e-4)

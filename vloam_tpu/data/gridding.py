@@ -91,6 +91,57 @@ def grid_cloud(
     return grid, gmask, n_per_ring
 
 
+def less_flat_voxel_table(
+    grid: np.ndarray,        # (R, C, 4) ring grid (grid_cloud output)
+    gmask: np.ndarray,       # (R, C)
+    cfg: ScanConfig,
+    max_grid: int = 1024,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host half of the less-flat voxel reduction (scan_registration.cpp:496-504).
+
+    Replicates ``ops.voxel.voxel_downsample(presorted=True, group_key=ring)``
+    quantization and run-merge EXACTLY (p_min rebase, int key, invalid rows
+    break runs), but over ALL valid grid cells — edge labels aren't known on
+    the host.  The device then subtracts the <= R*S*20 edge-labeled cells
+    from their runs (one tiny scatter) instead of segment-summing 131k rows.
+
+    Returns (slot_grid (R, C) int32 — output slot per cell, -1 where invalid
+    or past ``less_flat_cap``; base_sums (cap, 5) f32 — per-run sums of xyzw
+    plus a count column; n_runs).
+    """
+    R, C = gmask.shape
+    cap = cfg.less_flat_cap
+    flat = grid.reshape(-1, 4)
+    mask = gmask.reshape(-1)
+    xyz = flat[:, :3]
+
+    p_min = np.min(np.where(mask[:, None], xyz, np.float32(1e30)), axis=0)
+    ijk = np.clip(
+        np.floor((xyz - p_min) / np.float32(cfg.less_flat_voxel)).astype(np.int32),
+        0, max_grid - 1,
+    )
+    key = ijk[:, 0] + max_grid * ijk[:, 1] + max_grid * max_grid * ijk[:, 2]
+    key = np.where(mask, key, np.iinfo(np.int32).max)
+    ring = np.repeat(np.arange(R, dtype=np.int32), C)
+
+    new_seg = np.empty((R * C,), bool)
+    new_seg[0] = True
+    new_seg[1:] = (key[1:] != key[:-1]) | (ring[1:] != ring[:-1])
+    new_seg &= mask
+    seg_id = np.cumsum(new_seg.astype(np.int32)) - 1
+    n_runs = int(new_seg.sum())
+    slot = np.where(mask & (seg_id >= 0) & (seg_id < cap), seg_id, -1).astype(np.int32)
+
+    ok = slot >= 0
+    idx = np.where(ok, slot, cap)
+    base = np.empty((cap, 5), np.float32)
+    w = ok.astype(np.float32)
+    for ch in range(4):
+        base[:, ch] = np.bincount(idx, weights=flat[:, ch] * w, minlength=cap + 1)[:cap]
+    base[:, 4] = np.bincount(idx, weights=w, minlength=cap + 1)[:cap]
+    return slot.reshape(R, C), base, min(n_runs, cap)
+
+
 def depth_buckets(
     points: np.ndarray,      # (N, 3) velodyne cloud (or (N, >=3); extra cols ignored)
     mask: np.ndarray,        # (N,) bool

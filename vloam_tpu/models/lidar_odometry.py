@@ -132,9 +132,13 @@ def lo_step(
 
     pose0 = state.last_delta if vo_prior is None else vo_prior
 
-    # less-flat is prefix-compacted (voxel output) — its count drives the
-    # dynamic tile skip in the knn kernel; less-sharp is slot-structured.
-    surf_n = jnp.sum(state.last_surf_mask, dtype=jnp.int32)
+    # The less-flat buffer may carry masked holes (host-pre-reduced voxel runs
+    # emptied by edge subtraction), so the knn valid-length is last-valid+1,
+    # not the mask sum — holes inside the range are sentinel-masked anyway.
+    n_s = state.last_surf_mask.shape[0]
+    surf_n = jnp.max(
+        jnp.where(state.last_surf_mask, jnp.arange(1, n_s + 1, dtype=jnp.int32), 0)
+    )
 
     def solve(pose_init):
         pose = pose_init

@@ -67,6 +67,7 @@ def vloam_step(
     cfg: VloamConfig,
     pre_gridded: bool = False,
     pre_buckets=None,         # DepthBuckets built by the host data layer
+    pre_lf_table=None,        # less-flat voxel table built by the host data layer
 ) -> tuple[VloamState, VloamOutputs]:
     """One coupled frame.  With ``pre_gridded=True`` the lidar inputs are the
     host-built ring grid (data/gridding.py) — the device skips organize_scan
@@ -99,7 +100,9 @@ def vloam_step(
     # ---- Sec 5: scan registration + LO + mapping (:186-190) ----------------
     with jax.named_scope("scan_registration"):
         if pre_gridded:
-            feats = extract_features_from_grid(grid, gmask, n_per_ring, cfg.scan)
+            feats = extract_features_from_grid(
+                grid, gmask, n_per_ring, cfg.scan, lf_table=pre_lf_table
+            )
         else:
             feats = extract_features(flat_cloud, flat_mask, cfg.scan)
 

@@ -195,6 +195,7 @@ def extract_features_from_grid(
     gmask: jax.Array,         # (R, C)
     n_per_ring: jax.Array,    # (R,) int32
     cfg: ScanConfig,
+    lf_table=None,            # optional host voxel table (slot_grid, base_sums, n_runs)
 ) -> ScanFeatures:
     """Scan registration from a pre-built ring grid.
 
@@ -203,6 +204,13 @@ def extract_features_from_grid(
     the device is busy with the previous frame (data/gridding.py, native
     loader) — the device-side ``organize_scan`` stays as the self-contained
     fallback for raw padded clouds.
+
+    ``lf_table`` (data/gridding.less_flat_voxel_table) likewise moves the
+    less-flat voxel reduction's segment sums to the host: the device only
+    scatter-subtracts the <= R*S*20 edge-labeled cells from their runs —
+    ~0.1 ms instead of a 131k-row segment scatter.  Output slots of runs
+    emptied by the subtraction stay masked holes (downstream consumers are
+    mask-driven; the knn valid-length uses last-valid+1, not sum).
     """
     curv, selectable = ring_curvature(grid, n_per_ring, cfg)
     fwd, bwd = _suppression_reach(grid, gmask, cfg)
@@ -333,20 +341,40 @@ def extract_features_from_grid(
 
     # Less-flat: every valid point not labelled edge, voxel-downsampled per ring
     # (scan_registration.cpp:486-504).  Edge labels live in edge_slots.
-    edge_lab = jnp.zeros((R, C + 1), bool).at[
-        jnp.arange(R)[:, None], jnp.where(edge_valid, edge_slots, C).reshape(R, -1)
-    ].set(True)[:, :C]
-    lf_mask = gmask & ~edge_lab
-    # ONE flat run-merge over all rings (PCL is called once per ring,
-    # scan_registration.cpp:496-503; the ring group key reproduces that
-    # separation): a single segment reduction over R*C points beats R
-    # vmapped ones, and the compaction step disappears.
-    ring_id = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
-    less_flat, less_flat_mask = voxel_downsample(
-        grid.reshape(-1, 4), lf_mask.reshape(-1), cfg.less_flat_voxel,
-        cfg.less_flat_cap, group_key=ring_id.reshape(-1), max_grid=1024,
-        presorted=True,
-    )
+    if lf_table is not None:
+        # Host pre-reduced runs: subtract the edge-labeled cells (they are the
+        # less-sharp gather positions, already fetched above) from their runs.
+        slot_grid, base_sums, n_runs = lf_table
+        cap = cfg.less_flat_cap
+        e_cols = edge_slots.reshape(R, -1)                     # (R, S*20)
+        e_ok = edge_valid.reshape(R, -1)
+        slot_e = jnp.take_along_axis(slot_grid, e_cols, axis=1)  # (R, S*20)
+        slot_e = jnp.where(e_ok & (slot_e >= 0), slot_e, cap).reshape(-1)
+        aug_e = jnp.concatenate(
+            [less_sharp, less_sharp_mask[:, None].astype(jnp.float32)], axis=1
+        )
+        sums = base_sums.at[slot_e].add(-aug_e, mode="drop")
+        cnt = sums[:, 4]
+        live = (jnp.arange(cap) < n_runs) & (cnt > 0.5)
+        less_flat = jnp.where(
+            live[:, None], sums[:, :4] / jnp.maximum(cnt, 1.0)[:, None], 0.0
+        )
+        less_flat_mask = live
+    else:
+        edge_lab = jnp.zeros((R, C + 1), bool).at[
+            jnp.arange(R)[:, None], jnp.where(edge_valid, edge_slots, C).reshape(R, -1)
+        ].set(True)[:, :C]
+        lf_mask = gmask & ~edge_lab
+        # ONE flat run-merge over all rings (PCL is called once per ring,
+        # scan_registration.cpp:496-503; the ring group key reproduces that
+        # separation): a single segment reduction over R*C points beats R
+        # vmapped ones, and the compaction step disappears.
+        ring_id = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
+        less_flat, less_flat_mask = voxel_downsample(
+            grid.reshape(-1, 4), lf_mask.reshape(-1), cfg.less_flat_voxel,
+            cfg.less_flat_cap, group_key=ring_id.reshape(-1), max_grid=1024,
+            presorted=True,
+        )
 
     return ScanFeatures(
         sharp, sharp_mask, less_sharp, less_sharp_mask, flat, flat_mask, less_flat, less_flat_mask

@@ -83,8 +83,8 @@ class VloamDriver:
         # donate the state: the cube-map arrays (hundreds of MB) update
         # in place instead of being copied every frame
         self._step = jax.jit(
-            lambda s, i, g, m, b: vloam_step(
-                s, i, g, m, ext, cfg, pre_gridded=True, pre_buckets=b
+            lambda s, i, g, m, b, t: vloam_step(
+                s, i, g, m, ext, cfg, pre_gridded=True, pre_buckets=b, pre_lf_table=t
             ),
             donate_argnums=0,
         )
@@ -188,9 +188,22 @@ class VloamDriver:
             buckets = DepthBuckets(
                 jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc)
             )
+        with self.timer.stage("host_lf_voxel"):
+            from vloam_tpu.data.gridding import less_flat_voxel_table
+
+            if native.available():
+                sg, bs, nr = native.lf_voxel_table_native(
+                    np.asarray(grid), np.asarray(gmask), cfg.scan
+                )
+            else:
+                sg, bs, nr = less_flat_voxel_table(
+                    np.asarray(grid), np.asarray(gmask), cfg.scan
+                )
+            lf_table = (jnp.array(sg), jnp.array(bs), jnp.array(nr, jnp.int32))
         with self.timer.stage("vloam_step"):
             self.state, out = self._step(
-                self.state, jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets
+                self.state, jnp.array(img), jnp.array(grid), jnp.array(gmask),
+                buckets, lf_table,
             )
             out.mo_pose.block_until_ready()
         if self.writers:

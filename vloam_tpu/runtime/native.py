@@ -52,6 +52,12 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.vh_lf_voxel_table.restype = ctypes.c_int
+    lib.vh_lf_voxel_table.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.vh_depth_buckets.restype = ctypes.c_int
     lib.vh_depth_buckets.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_ubyte),
@@ -135,6 +141,28 @@ def depth_buckets_native(
     if rc < 0:
         raise ValueError(f"vh_depth_buckets failed rc={rc}")
     return u, v, z, c
+
+
+def lf_voxel_table_native(
+    grid: np.ndarray, gmask: np.ndarray, cfg, max_grid: int = 1024
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """C++ twin of data/gridding.less_flat_voxel_table (same outputs)."""
+    lib = _load()
+    R, C = gmask.shape
+    flat = np.ascontiguousarray(grid.reshape(-1, 4), np.float32)
+    m8 = np.ascontiguousarray(gmask.reshape(-1), np.uint8)
+    slot = np.zeros((R * C,), np.int32)
+    base = np.zeros((cfg.less_flat_cap, 5), np.float32)
+    n_runs = lib.vh_lf_voxel_table(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        R, C, cfg.less_flat_voxel, cfg.less_flat_cap, max_grid,
+        slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n_runs < 0:
+        raise ValueError(f"vh_lf_voxel_table failed rc={n_runs}")
+    return slot.reshape(R, C), base, n_runs
 
 
 def load_png_gray(path: str, height: int, width: int) -> np.ndarray:
