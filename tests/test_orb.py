@@ -118,3 +118,14 @@ def test_fast_detector_finds_blobs(blob_pair):
     kpi = np.asarray(kp[np.asarray(mask)]).astype(int)
     vals = st[kpi[:, 1], kpi[:, 0]]
     assert np.median(vals) > 10 * np.median(np.abs(st))
+
+
+def test_bits_matmul_equals_gather():
+    """The MXU difference-matmul formulation and the tap-gather formulation
+    must produce identical descriptor bits (exact f32, same integer taps)."""
+    rng = np.random.default_rng(7)
+    flat = jnp.array(rng.uniform(0, 255, (64, orb.PATCH * orb.PATCH)).astype(np.float32))
+    abin = jnp.array(rng.integers(0, orb.N_ANGLES, 64).astype(np.int32))
+    b_g = orb._descriptor_bits(flat, abin, use_matmul=False)
+    b_m = orb._descriptor_bits(flat, abin, use_matmul=True)
+    np.testing.assert_array_equal(np.asarray(b_g), np.asarray(b_m))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vloam_tpu.config import VisualConfig
-from vloam_tpu.ops.image_ops import _sep_conv, _slice_patches
+from vloam_tpu.ops.image_ops import _sep_conv
 
 PATCH = 32          # descriptor patch (covers the 31x31 ORB window)
 N_BITS = 256
@@ -39,6 +39,33 @@ def _pattern() -> np.ndarray:
 
 
 _PAT = _pattern()
+
+N_ANGLES = 30       # ORB's 12-degree orientation quantisation (Rublee et al.
+                    # 2011 §4.1: a lookup table of 30 pre-rotated patterns)
+
+
+def _pattern_bank() -> tuple[np.ndarray, np.ndarray]:
+    """(N_ANGLES, 256) integer tap indices into the flattened 32x32 patch for
+    each pattern endpoint, one row per quantised orientation.  Nearest-tap
+    sampling, matching the ORB paper's precomputed rotated patterns."""
+    half = PATCH // 2
+    banks = []
+    for ends in ((_PAT[:, 0], _PAT[:, 1]), (_PAT[:, 2], _PAT[:, 3])):
+        px, py = ends
+        rows = []
+        for a in range(N_ANGLES):
+            th = 2.0 * np.pi * a / N_ANGLES
+            c, s = np.cos(th), np.sin(th)
+            x = c * px - s * py + (half - 0.5)
+            y = s * px + c * py + (half - 0.5)
+            xi = np.clip(np.round(x), 0, PATCH - 1).astype(np.int32)
+            yi = np.clip(np.round(y), 0, PATCH - 1).astype(np.int32)
+            rows.append(yi * PATCH + xi)
+        banks.append(np.stack(rows))
+    return banks[0], banks[1]
+
+
+_BANK1, _BANK2 = _pattern_bank()
 
 
 def orb_descriptors(
@@ -70,43 +97,64 @@ def orb_descriptors(
     corner = jnp.stack(
         [jnp.clip(corner[:, 0], 0, W - PATCH), jnp.clip(corner[:, 1], 0, H - PATCH)], axis=-1
     )
-    patches = _slice_patches(smooth, corner, PATCH)          # (N, 32, 32)
+    from vloam_tpu.ops.pallas_gather import gather_patches
 
-    # orientation: intensity centroid moments over the patch
+    patches = gather_patches(smooth, corner, PATCH)          # (N, 32, 32)
+
+    # orientation: intensity centroid moments over the patch, quantised to
+    # the ORB paper's 30 pre-rotated patterns (Rublee et al. 2011 §4.1)
     if rotate:
         ax = jnp.arange(PATCH, dtype=jnp.float32) - (half - 0.5)
         m10 = jnp.einsum("nyx,x->n", patches, ax)
         m01 = jnp.einsum("nyx,y->n", patches, ax)
-        theta = jnp.arctan2(m01, m10)
-        c, s = jnp.cos(theta), jnp.sin(theta)
+        theta = jnp.arctan2(m01, m10)                        # (-pi, pi]
+        abin = jnp.mod(
+            jnp.round(theta * (N_ANGLES / (2.0 * jnp.pi))).astype(jnp.int32), N_ANGLES
+        )
     else:
-        n_pts = pts.shape[0]
-        c = jnp.ones((n_pts,), jnp.float32)
-        s = jnp.zeros((n_pts,), jnp.float32)
+        abin = jnp.zeros((pts.shape[0],), jnp.int32)
 
-    # rotate the pattern per keypoint: (N, 256, 2) coords for both endpoints
-    pat = jnp.asarray(_PAT)
-    def rot(px, py):
-        x = c[:, None] * px[None, :] - s[:, None] * py[None, :]
-        y = s[:, None] * px[None, :] + c[:, None] * py[None, :]
-        return x + (half - 0.5), y + (half - 0.5)            # patch coords
-
-    x1, y1 = rot(pat[:, 0], pat[:, 1])
-    x2, y2 = rot(pat[:, 2], pat[:, 3])
-
-    def sample(xs, ys):
-        # nearest-neighbour sampling of the smoothed patch (ORB uses the
-        # pre-smoothed image with integer taps)
-        xi = jnp.clip(jnp.round(xs), 0, PATCH - 1).astype(jnp.int32)
-        yi = jnp.clip(jnp.round(ys), 0, PATCH - 1).astype(jnp.int32)
-        flat = patches.reshape(patches.shape[0], -1)
-        return jnp.take_along_axis(flat, yi * PATCH + xi, axis=1)
-
-    bits = sample(x1, y1) < sample(x2, y2)                   # (N, 256)
+    flat = patches.reshape(patches.shape[0], -1)             # (N, 1024)
+    bits = _descriptor_bits(flat, abin)
     words = bits.reshape(-1, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     desc = jnp.sum(jnp.where(words, weights, jnp.uint32(0)), axis=-1, dtype=jnp.uint32)
     return desc, mask & inside
+
+
+def _descriptor_bits(
+    flat: jax.Array, abin: jax.Array, use_matmul: bool | None = None
+) -> jax.Array:
+    """Pattern comparisons for pre-sliced flattened patches: (N, 256) bits.
+
+    Two numerically identical formulations (exact f32, same integer taps);
+    ``use_matmul=None`` picks by backend."""
+    bank1 = jnp.asarray(_BANK1)
+    bank2 = jnp.asarray(_BANK2)
+    if use_matmul is None:
+        use_matmul = jax.default_backend() not in ("cpu", "gpu")
+    if not use_matmul:
+        # gather path: per-keypoint tap lookup of its angle bin's pattern
+        idx1 = jnp.take(bank1, abin, axis=0)                 # (N, 256)
+        idx2 = jnp.take(bank2, abin, axis=0)
+        bits = jnp.take_along_axis(flat, idx1, axis=1) < jnp.take_along_axis(flat, idx2, axis=1)
+    else:
+        # MXU path: the two serial 262k-element tap gathers were ~5 ms on
+        # TPU.  All 30 patterns' comparisons become ONE matmul against a
+        # (30*256, 1024) +-1 difference matrix (diff = s2 - s1 per bit),
+        # then each keypoint row-selects its angle bin — identical bits to
+        # the gather path (exact f32, same integer taps).
+        pix = jnp.arange(PATCH * PATCH, dtype=jnp.int32)
+        d2_oh = (pix[None, :] == bank2.reshape(-1)[:, None]).astype(jnp.float32)
+        d1_oh = (pix[None, :] == bank1.reshape(-1)[:, None]).astype(jnp.float32)
+        D = d2_oh - d1_oh                                    # (30*256, 1024)
+        diff_all = jax.lax.dot_general(
+            flat, D, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, N_ANGLES, N_BITS)
+        diff = jnp.take_along_axis(diff_all, abin[:, None, None], axis=1)[:, 0]
+        bits = diff > 0                                      # (N, 256)
+    return bits
 
 
 def _popcount32(x: jax.Array) -> jax.Array:

@@ -105,6 +105,25 @@ def _gather_stacked_tpu(imgs8, meta, P: int):
     )(meta, imgs8)
 
 
+def gather_patches(
+    img: jax.Array,        # (H, W) f32
+    corners: jax.Array,    # (N, 2) int32 xy, pre-clipped to [0, W-P] x [0, H-P]
+    P: int = P_DEFAULT,
+) -> jax.Array:
+    """Single-image variant of gather_patches_pair: (N, P, P) patches."""
+    N = corners.shape[0]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not on_tpu or N % _B != 0 or img.shape[1] < _LW:
+        from vloam_tpu.ops.image_ops import _slice_patches
+
+        return _slice_patches(img, corners, P)
+    imgs8 = make_img8(img)[None]
+    meta = jnp.stack(
+        [jnp.zeros((N,), jnp.int32), corners[:, 0], corners[:, 1]]
+    )
+    return _gather_stacked_tpu(imgs8, meta, P)
+
+
 def gather_patches_pair(
     img_a: jax.Array,      # (H, W) f32
     img_b: jax.Array,
