@@ -186,7 +186,9 @@ def describe(
         corner = jnp.stack(
             [jnp.clip(corner[:, 0], 0, W - PATCH), jnp.clip(corner[:, 1], 0, H - PATCH)], -1
         )
-        p = _slice_patches(subs[0], corner, PATCH)
+        from vloam_tpu.ops.pallas_gather import gather_patches
+
+        p = gather_patches(subs[0], corner, PATCH)
         sel = kp.octave == o
         patches = jnp.where(sel[:, None, None], p, patches)
         valid = jnp.where(sel, inside, valid)

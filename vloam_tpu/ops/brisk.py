@@ -233,8 +233,11 @@ def _sample_pattern(
         fx = jnp.clip(px - x0, 0.0, 1.0)
         fy = jnp.clip(py - y0, 0.0, 1.0)
         v = jnp.zeros((N, K), jnp.float32)
+        from vloam_tpu.ops.pallas_gather import gather_patches_stack
+
+        patches_all = gather_patches_stack(stack, corner, PATCH)  # (3, N, P, P)
         for b in range(len(BLUR_SIGMAS)):
-            flat = _slice_patches(stack[b], corner, PATCH).reshape(N, -1)
+            flat = patches_all[b].reshape(N, -1)
             def at(yi, xi):
                 return jnp.take_along_axis(flat, yi * PATCH + xi, axis=1)
             vb = (

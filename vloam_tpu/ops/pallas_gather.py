@@ -124,6 +124,27 @@ def gather_patches(
     return _gather_stacked_tpu(imgs8, meta, P)
 
 
+def gather_patches_stack(
+    imgs: jax.Array,       # (C, H, W) f32 — e.g. a blur stack of one octave
+    corners: jax.Array,    # (N, 2) int32 xy, pre-clipped
+    P: int = P_DEFAULT,
+) -> jax.Array:
+    """Slice every image's patch at every corner: (C, N, P, P), one kernel."""
+    C, H, W = imgs.shape
+    N = corners.shape[0]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not on_tpu or (C * N) % _B != 0 or W < _LW:
+        from vloam_tpu.ops.image_ops import _slice_patches_multi
+
+        return _slice_patches_multi(imgs, corners, P).transpose(1, 0, 2, 3)
+    imgs8 = jax.vmap(make_img8)(imgs)                      # (C, 8, H, W_pad)
+    ids = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
+    cxy = jnp.tile(corners, (C, 1))
+    meta = jnp.stack([ids, cxy[:, 0], cxy[:, 1]])
+    out = _gather_stacked_tpu(imgs8, meta, P)              # (C*N, P, P)
+    return out.reshape(C, N, P, P)
+
+
 def gather_patches_pair(
     img_a: jax.Array,      # (H, W) f32
     img_b: jax.Array,

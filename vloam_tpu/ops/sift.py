@@ -181,7 +181,9 @@ def _gather_patches_multi_octave(octs, kp: SiftKeypoints):
         # middle Gaussian level approximates each keypoint's own level: the
         # descriptor is normalised, so the residual blur difference washes out
         img_o = g[S // 2 + 1]
-        p = _slice_patches(img_o, corner, PATCH)
+        from vloam_tpu.ops.pallas_gather import gather_patches
+
+        p = gather_patches(img_o, corner, PATCH)
         out = jnp.where((kp.octave == o)[:, None, None], p, out)
     return out
 
