@@ -60,3 +60,19 @@ def test_mapping_skip_frame(tmp_path):
     assert res["final_err_mo_m"] < 0.2
     traj = load_kitti_trajectory(os.path.join(tmp_path, "MO1.txt"))
     assert traj.shape == (5, 3, 4)
+
+
+@pytest.mark.slow
+def test_pose_graph_refinement(tmp_path):
+    """--refine: post-sequence pose-graph fusion of the VO/LO/MO chains
+    writes MO{d}_refined.txt and does not degrade the MO estimate."""
+    res = run_synthetic(CFG, n_frames=5, speed=0.8, yaw_rate=0.005,
+                        out_dir=str(tmp_path), n_azimuth=700, verbose=False,
+                        refine=True)
+    assert "final_err_refined_m" in res
+    # fusion with the (noisier) LO/VO chains must stay in the MO error class
+    assert res["final_err_refined_m"] < max(2.5 * res["final_err_mo_m"], 0.1)
+    traj = load_kitti_trajectory(os.path.join(tmp_path, "MO1_refined.txt"))
+    assert traj.shape == (5, 3, 4)
+    R = traj[-1, :, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)

@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--out", default=None, help="trajectory output directory")
     p.add_argument("--couple", action="store_true", help="coupled VO+LO mode (detach_VO_LO=false)")
     p.add_argument("--lidar-only", action="store_true", help="skip VO (A-LOAM mode)")
+    p.add_argument("--refine", action="store_true",
+                   help="post-sequence pose-graph fusion of the VO/LO/MO chains "
+                        "(writes MO{d}_refined.txt)")
     p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
     p.add_argument("--json", action="store_true", help="print metrics as one JSON line")
     p.add_argument("--checkpoint-dir", default=None, help="save pipeline state snapshots here")
@@ -94,7 +97,7 @@ def main() -> None:
     if args.dataset == "synthetic":
         res = run_synthetic(
             cfg, n_frames=args.frames, speed=args.speed, out_dir=args.out,
-            verbose=not args.json, lidar_only=args.lidar_only,
+            verbose=not args.json, lidar_only=args.lidar_only, refine=args.refine,
         )
     else:
         from vloam_tpu.data.kitti import OdometrySequence, RawSequence
@@ -106,7 +109,8 @@ def main() -> None:
         res = run_kitti(cfg, seq, out_dir=args.out, start=args.start, end=args.end,
                         verbose=not args.json, checkpoint_dir=args.checkpoint_dir,
                         checkpoint_every=args.checkpoint_every, resume=args.resume,
-                        debug_dir=args.debug_dir, debug_every=args.debug_every)
+                        debug_dir=args.debug_dir, debug_every=args.debug_every,
+                        refine=args.refine)
     if args.json:
         print(json.dumps(res))
 

@@ -64,6 +64,7 @@ class VloamDriver:
         checkpoint_every: int = 0,
         debug_dir: str | None = None,
         debug_every: int = 0,
+        refine: bool = False,
     ):
         self.cfg = cfg
         self.ext = ext
@@ -75,6 +76,11 @@ class VloamDriver:
         self.debug_dir = debug_dir
         self.debug_every = debug_every
         self._debug_prev = None
+        # Pose-graph backend (the reference has none): accumulate per-frame
+        # world poses and fuse the three odometry chains after the sequence.
+        self.refine = refine
+        self._world_hist: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._refined: np.ndarray | None = None
         if debug_dir:
             os.makedirs(debug_dir, exist_ok=True)
         # lidar frames arrive as host-built ring grids (data/gridding.py): the
@@ -90,6 +96,7 @@ class VloamDriver:
         )
         self._proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
         self.writers = {}
+        self.out_dir = out_dir
         if out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
             d = int(cfg.detach_vo_lo)
@@ -210,12 +217,67 @@ class VloamDriver:
             self.writers["vo"].append(out.vo_pose)
             self.writers["lo"].append(out.lo_pose)
             self.writers["mo"].append(out.mo_pose)
+        if self.refine:
+            self._world_hist.append(
+                (np.asarray(out.world_vo), np.asarray(out.world_lo), np.asarray(out.world_mo))
+            )
         self.count += 1
         if self.checkpoint_dir and self.checkpoint_every and self.count % self.checkpoint_every == 0:
             self.save_checkpoint()
         return out
 
+    def refine_trajectory(
+        self, w_mo: float = 1.0, w_lo: float = 0.2, w_vo: float = 0.05, iters: int = 8
+    ) -> np.ndarray | None:
+        """Pose-graph fusion over the whole sequence (the backend the
+        reference lacks): the VO / LO / MO frame-to-frame motion estimates
+        carry partially independent noise, so a relative-pose graph with the
+        MO chain dominant smooths the trajectory.  Returns refined (W, 7)
+        world poses (and writes ``MO{d}_refined.txt`` when exporting).
+
+        Runs on host-collected poses (requires ``refine=True`` at
+        construction); the factor set is tiny (3 chains), so the solve is a
+        single small GN on whatever backend is available.
+        """
+        if self._refined is not None:
+            return self._refined
+        if len(self._world_hist) < 3:
+            return None
+        from vloam_tpu.parallel.pose_graph import concat_factors, odometry_factors, optimize_pose_graph
+
+        hist = np.stack([np.stack(h) for h in self._world_hist])   # (W, 3, 7)
+        vo, lo, mo = hist[:, 0], hist[:, 1], hist[:, 2]
+
+        def chain_deltas(p):
+            pj = jnp.array(p, jnp.float32)
+            inv = jax.vmap(geo.pose_inverse)(pj[:-1])
+            return jax.vmap(geo.pose_compose)(inv, pj[1:])
+
+        factors = concat_factors(
+            odometry_factors(chain_deltas(mo), weight=w_mo),
+            odometry_factors(chain_deltas(lo), weight=w_lo),
+            odometry_factors(chain_deltas(vo), weight=w_vo),
+        )
+        refined = optimize_pose_graph(jnp.array(mo, jnp.float32), factors, iters=iters)
+        refined = np.asarray(refined)
+
+        if self.out_dir is not None:
+            anchor = jnp.array(np.asarray(self.state.cam0_init_T_cam0_start))
+            rows = jax.vmap(lambda p: fg.world_to_cam0_start(p, anchor, self.ext))(
+                jnp.array(refined)
+            )
+            d = int(self.cfg.detach_vo_lo)
+            path = os.path.join(self.out_dir, f"MO{d}_refined.txt")
+            w = TrajectoryWriter(path)
+            for r in np.asarray(rows):
+                w.append(r)
+            w.close()
+        self._refined = refined
+        return refined
+
     def close(self):
+        if self.refine:
+            self.refine_trajectory()
         for w in self.writers.values():
             w.close()
 
@@ -229,12 +291,13 @@ def run_synthetic(
     n_azimuth: int = 900,
     verbose: bool = True,
     lidar_only: bool = False,
+    refine: bool = False,
 ):
     """Full-pipeline run on the synthetic raycast world.  Returns a dict of
     drift metrics vs the exact trajectory (our replacement for the
     reference's saved-rosbag smoke runs)."""
     ext = fg.kitti_default_extrinsics()
-    driver = VloamDriver(cfg, ext, out_dir)
+    driver = VloamDriver(cfg, ext, out_dir, refine=refine)
     boxes = synthetic.default_scene()
     poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
     K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
@@ -280,6 +343,10 @@ def run_synthetic(
         "steady_ms_per_frame": float(np.median(t_per_frame[2:]) * 1e3) if n_frames > 2 else None,
         "fps": float(1.0 / np.median(t_per_frame[2:])) if n_frames > 2 else None,
     }
+    if refine and len(driver._world_hist) >= 3:
+        refined = driver.refine_trajectory()
+        if refined is not None:
+            res["final_err_refined_m"] = float(np.linalg.norm(refined[-1][4:] - gt_final))
     if verbose:
         print(driver.timer.summary())
         for k, v in res.items():
@@ -299,6 +366,7 @@ def run_kitti(
     resume: str | None = None,
     debug_dir: str | None = None,
     debug_every: int = 0,
+    refine: bool = False,
 ):
     """Run the pipeline over a real KITTI sequence (raw or odometry layout).
 
@@ -310,7 +378,7 @@ def run_kitti(
     ext = extrinsics_from_calib(sequence.calib)
     driver = VloamDriver(cfg, ext, out_dir,
                          checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-                         debug_dir=debug_dir, debug_every=debug_every)
+                         debug_dir=debug_dir, debug_every=debug_every, refine=refine)
     if resume:
         start = driver.restore_checkpoint(resume)
     end = len(sequence) if end is None else min(end, len(sequence))
