@@ -45,7 +45,7 @@ class OdometryConfig:
 
     distance_sq_threshold: float = 25.0  # laser_odometry.h:94
     nearby_scan: float = 2.5             # laser_odometry.h:95
-    assoc_k: int = 16                    # k-NN pool the ring-constrained picks
+    assoc_k: int = 8                     # k-NN pool the ring-constrained picks
                                          # are resolved from (ours; the ref's
                                          # kd-tree scans have no such bound)
     outer_iters: int = 2                 # laser_odometry.cpp:224
@@ -143,6 +143,9 @@ class VisualConfig:
     klt_patch_slack: int = 8          # extra patch margin so per-level iterations
                                       # stay inside one contiguous slice; 8 makes the
                                       # patch 2*(7+8+1)=32 px — lane-aligned on TPU
+                                      # (slack 4 measurably degrades prior-less
+                                      # tracking: the coarse-level upsample error
+                                      # clips against the patch)
     # depth buckets (point_cloud_util.cpp:34,256-487)
     downsample_grid: int = 5
     query_radius: int = 2
