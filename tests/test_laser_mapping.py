@@ -50,7 +50,7 @@ def test_mapping_beats_lo():
     @jax.jit
     def step(lo, mp, p, m):
         feats = extract_features(p, m, CFG.scan)
-        lo, delta, wodom = lo_step(lo, feats, CFG)
+        lo, delta, wodom, _ = lo_step(lo, feats, CFG)
         mp, wmap = mapping_step(
             mp, feats.less_sharp, feats.less_sharp_mask,
             feats.less_flat, feats.less_flat_mask, wodom, CFG,

@@ -20,7 +20,7 @@ def test_lo_straight_line_drift():
     n_frames, speed = 5, 0.8
     poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=0.01)
     state = init_lo_state(cfg)
-    step = jax.jit(lambda s, p, m: lo_step(s, extract_features(p, m, cfg.scan), cfg))
+    step = jax.jit(lambda s, p, m: lo_step(s, extract_features(p, m, cfg.scan), cfg)[:3])
     world = None
     for i, (R, t) in enumerate(poses):
         pts = synthetic.simulate_scan(R, t, scene, n_azimuth=700, noise=0.005, seed=i)

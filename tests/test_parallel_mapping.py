@@ -42,7 +42,7 @@ def test_sharded_matches_single_device():
         pts = synthetic.simulate_scan(R, t, scene, n_azimuth=700, noise=0.005, seed=i)
         p, m = synthetic.pad_cloud(pts, CFG.scan.max_points)
         feats = extract_features(jnp.array(p), jnp.array(m), CFG.scan)
-        lo, _, wodom = lo_step(lo, feats, CFG)
+        lo, _, wodom, _ = lo_step(lo, feats, CFG)
         feats_seq.append(feats)
         wodoms.append(wodom)
 

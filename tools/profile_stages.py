@@ -48,7 +48,7 @@ Kj = ext.P_rect0[:, :3]
 
 vo_j = jax.jit(lambda vs, img, c, m, prior: vo_step(vs, img, c, m, proj, Kj, cfg, lo_prior=prior))
 feat_j = jax.jit(lambda c, m: extract_features(c, m, cfg.scan))
-lo_j = jax.jit(lambda ls, feats: lo_step(ls, feats, cfg, vo_prior=None))
+lo_j = jax.jit(lambda ls, feats: lo_step(ls, feats, cfg, vo_prior=None)[:3])
 map_j = jax.jit(lambda mp, ls_, lsm, lf, lfm, w: mapping_step(mp, ls_, lsm, lf, lfm, w, cfg))
 
 img, cloud, mask = frames[3]

@@ -120,8 +120,10 @@ def _plane_correspondences(pose, flat, flat_mask, cand, cand_mask, cfg,
 
 def lo_step(
     state: LoState, feats: ScanFeatures, cfg: VloamConfig, vo_prior: jax.Array | None = None
-) -> tuple[LoState, jax.Array, jax.Array]:
-    """One LO frame.  Returns (new_state, f2f pose last_T_curr, world pose).
+) -> tuple[LoState, jax.Array, jax.Array, jax.Array]:
+    """One LO frame.  Returns (new_state, f2f pose last_T_curr, world pose,
+    corr_counts (2,) int32 = final-iteration edge/plane correspondences —
+    the reference's degradation signal, laser_odometry.cpp:489-496).
 
     ``vo_prior`` (a 7-pose, velodyne frame, last_T_curr) seeds the solve when
     the VO/LO coupling is on (laser_odometry.cpp:237-250); otherwise the
@@ -158,12 +160,15 @@ def lo_step(
                 )
 
             pose = solve_pose_gn(residuals, pose, oc.inner_iters, oc.huber_delta, oc.lm_lambda)
-        return pose
+        counts = jnp.stack(
+            [jnp.sum(v_e, dtype=jnp.int32), jnp.sum(v_s, dtype=jnp.int32)]
+        )
+        return pose, counts
 
-    delta = jax.lax.cond(
+    delta, corr_counts = jax.lax.cond(
         state.initialized,
         solve,
-        lambda p: geo.pose_identity(),
+        lambda p: (geo.pose_identity(), jnp.zeros((2,), jnp.int32)),
         pose0,
     )
 
@@ -179,4 +184,4 @@ def lo_step(
         last_delta=jnp.where(state.initialized, delta, state.last_delta),
         initialized=jnp.array(True),
     )
-    return new_state, delta, pose_w
+    return new_state, delta, pose_w, corr_counts

@@ -44,6 +44,8 @@ class VloamOutputs(NamedTuple):
     world_vo: jax.Array   # (7,) world_T_base from VO
     world_lo: jax.Array   # (7,) world_T_base from LO
     world_mo: jax.Array   # (7,) world_T_base from mapping
+    lo_corr: jax.Array    # (2,) int32 LO edge/plane correspondence counts
+                          # (the degradation signal of laser_odometry.cpp:489-496)
 
 
 def init_vloam_state(cfg: VloamConfig) -> VloamState:
@@ -108,7 +110,7 @@ def vloam_step(
 
     with jax.named_scope("laser_odometry"):
         vo_prior = None if cfg.detach_vo_lo else velo_last_VOT_velo_curr
-        lo_state, lo_delta, world_LOT_base = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)
+        lo_state, lo_delta, world_LOT_base, lo_corr = lo_step(state.lo, feats, cfg, vo_prior=vo_prior)
 
     cam0_curr_LOT_cam0_prev = fg.lo_delta_to_cam0(lo_delta, ext)
 
@@ -153,4 +155,5 @@ def vloam_step(
     return new_state, VloamOutputs(
         vo_pose=vo_row, lo_pose=lo_row, mo_pose=mo_row,
         world_vo=world_VOT_base, world_lo=world_LOT_base, world_mo=world_MOT_base,
+        lo_corr=lo_corr,
     )

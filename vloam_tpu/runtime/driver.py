@@ -213,6 +213,15 @@ class VloamDriver:
                 buckets, lf_table,
             )
             out.mo_pose.block_until_ready()
+        if self.cfg.verbose_level >= 1 and self.count > 0:
+            # degradation warning (laser_odometry.cpp:493-496: < 10
+            # correspondences; the reference proceeds anyway, as do we)
+            corr = np.asarray(out.lo_corr)
+            if int(corr.sum()) < 10:
+                print(
+                    f"[warn] frame {self.count}: LO degraded — only "
+                    f"{int(corr[0])} edge + {int(corr[1])} plane correspondences"
+                )
         if self.writers:
             self.writers["vo"].append(out.vo_pose)
             self.writers["lo"].append(out.lo_pose)
