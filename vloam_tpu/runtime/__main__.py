@@ -49,7 +49,13 @@ def main() -> None:
     p.add_argument("--keypoint-nms", action="store_true", help="bucketed keypoint NMS")
     p.add_argument("--descriptor-match", action="store_true",
                    help="ORB descriptor matching instead of KLT (optical_flow_match=false)")
-    p.add_argument("--detector", choices=["shitomasi", "fast"], default="shitomasi")
+    p.add_argument("--detector", default="shitomasi",
+                   choices=["shitomasi", "fast", "brisk", "orb", "akaze", "sift"])
+    p.add_argument("--descriptor", default=None,
+                   choices=["orb", "brief", "brisk", "freak", "akaze", "sift"],
+                   help="descriptor family (descriptor-match mode)")
+    p.add_argument("--matcher", default=None, choices=["bf", "flann"])
+    p.add_argument("--match-select", default=None, choices=["knn", "nn"])
     p.add_argument("--remove-vo-outlier", type=float, default=None,
                    help="pixel displacement gate (reference remove_VO_outlier)")
     p.add_argument("--reset-vo-to-identity", action="store_true")
@@ -78,6 +84,12 @@ def main() -> None:
     }
     if args.descriptor_match:
         vis_kw["optical_flow_match"] = False
+    if args.descriptor is not None:
+        vis_kw["descriptor_type"] = args.descriptor
+    if args.matcher is not None:
+        vis_kw["matcher_type"] = args.matcher
+    if args.match_select is not None:
+        vis_kw["match_select"] = args.match_select
     if args.remove_vo_outlier is not None:
         vis_kw["remove_vo_outlier"] = args.remove_vo_outlier
     cfg = cfg.replace(visual=dataclasses.replace(cfg.visual, **vis_kw),
