@@ -317,15 +317,24 @@ def mapping_step(
     ss_n = jnp.sum(ss_mask, dtype=jnp.int32)
 
     def optimize(pose):
+        from vloam_tpu.ops.pallas_knn import knn_lanemin_pair
+
         for _ in range(mc.outer_iters):
-            p_e, a_e, b_e, v_e, nn_c = _corner_correspondences(
-                pose, corner_stack, cs_mask, c_pts, c_mask, cfg,
-                cand_count=c_n, query_count=cs_n,
+            # ONE fused kernel launch + epilogue for both 5-NN problems
+            # (corner stack vs corner submap, surf stack vs surf submap)
+            qc = geo.pose_apply(pose, corner_stack[:, :3])
+            qs = geo.pose_apply(pose, surf_stack[:, :3])
+            (d2c, idxc), (d2s, idxs) = knn_lanemin_pair(
+                qc, c_pts[:, :3], c_mask, mc.n_neighbors,
+                qs, s_pts[:, :3], s_mask, mc.n_neighbors,
+                a_counts=(cs_n, c_n), b_counts=(ss_n, s_n),
             )
-            p_s, n_s, d_s, v_s, nn_s = _surf_correspondences(
-                pose, surf_stack, ss_mask, s_pts, s_mask, cfg,
-                cand_count=s_n, query_count=ss_n,
-            )
+            nbr_c = jnp.take(c_pts[:, :3], idxc, axis=0)
+            p_e, a_e, b_e, v_e = fit_corner_lines(corner_stack, cs_mask, nbr_c, d2c, cfg)
+            nn_c = d2c[:, 0]
+            nbr_s = jnp.take(s_pts[:, :3], idxs, axis=0)
+            p_s, n_s, d_s, v_s = fit_surf_planes(surf_stack, ss_mask, nbr_s, d2s, cfg)
+            nn_s = d2s[:, 0]
 
             def residuals(p):
                 return (

@@ -109,6 +109,153 @@ def _lanemin_keys(q: jax.Array, ct: jax.Array, n_tiles: jax.Array) -> jax.Array:
     )(n_tiles, q, ct)
 
 
+def _pair_decode(t, qa_t, ca_t, cb_t):
+    """Flat grid step -> (query tile i, cand tile j) covering group A's
+    qa_t x ca_t block then group B's block, row-major by query tile — each
+    query tile's candidate visits stay consecutive (output revisit rule)."""
+    a_total = qa_t * ca_t
+    in_a = t < a_total
+    i = jnp.where(in_a, t // ca_t, qa_t + (t - a_total) // cb_t)
+    j = jnp.where(in_a, t % ca_t, ca_t + (t - a_total) % cb_t)
+    j0 = jnp.where(in_a, t % ca_t, (t - a_total) % cb_t)   # j local to group
+    return i, j, j0, in_a
+
+
+def _grouped_kernel(qa_tiles: int, ca_tiles: int, cb_tiles: int):
+    """Kernel for two independent (query set, candidate set) problems fused
+    into ONE flat-grid launch of exactly qa*ca + qb*cb tile steps — the same
+    tile work as two separate launches, sharing scheduling and the epilogue."""
+
+    def kernel(nt_ref, q_ref, ct_ref, out_ref):
+        t = pl.program_id(0)
+        i, j, j0, in_a = _pair_decode(t, qa_tiles, ca_tiles, cb_tiles)
+        q_ok = jnp.where(in_a, i < nt_ref[0], i - qa_tiles < nt_ref[1])
+        c_ok = jnp.where(in_a, j0 < nt_ref[2], j0 < nt_ref[3])
+        active = q_ok & c_ok
+
+        @pl.when(j0 == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, jnp.iinfo(jnp.int32).max)
+
+        @pl.when(active)
+        def _():
+            qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+            cx, cy, cz = ct_ref[0:1, :], ct_ref[1:2, :], ct_ref[2:3, :]
+            dx, dy, dz = qx - cx, qy - cy, qz - cz
+            d2 = dx * dx + dy * dy + dz * dz
+            bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+            n_groups = TN // _LANES
+            acc = None
+            for r in range(n_groups):
+                g = j * n_groups + r
+                key = (bits[:, r * _LANES:(r + 1) * _LANES] & ~_GMASK) | g
+                acc = key if acc is None else jnp.minimum(acc, key)
+            out_ref[:] = jnp.minimum(out_ref[:], acc)
+
+    return kernel
+
+
+def knn_lanemin_pair(
+    qa: jax.Array, ca: jax.Array, ma: jax.Array, ka: int,
+    qb: jax.Array, cb: jax.Array, mb: jax.Array, kb: int,
+    a_counts: tuple = (None, None),   # (query_count, cand_count) group A
+    b_counts: tuple = (None, None),
+) -> tuple[tuple[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
+    """Two independent k-NN problems in ONE kernel launch + ONE epilogue.
+
+    Used by the mapping correspondence pass (corner 5-NN vs the corner
+    submap AND surf 5-NN vs the surf submap per outer iteration): fusing
+    halves the fixed per-launch and per-epilogue costs.  Shapes must be
+    TM/TN-aligned (the mapping stack/submap caps are).  Same approximation
+    contract as knn_lanemin; combined padded candidates must fit the 9-bit
+    group id space (<= 65536)."""
+    ma_n, na = qa.shape[0], ca.shape[0]
+    mb_n, nb = qb.shape[0], cb.shape[0]
+    aligned = (
+        ma_n % TM == 0 and mb_n % TM == 0 and na % TN == 0 and nb % TN == 0
+        and na + nb <= _LANES * (1 << _GBITS) and ka <= _LANES and kb <= _LANES
+    )
+    if jax.default_backend() in ("cpu", "gpu") or not aligned:
+        from vloam_tpu.ops.knn import knn
+
+        return (
+            knn(qa, ca, ma, ka, cand_count=a_counts[1], query_count=a_counts[0]),
+            knn(qb, cb, mb, kb, cand_count=b_counts[1], query_count=b_counts[0]),
+        )
+
+    def center_of(c, m):
+        lo = jnp.min(jnp.where(m[:, None], c, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(m[:, None], c, -jnp.inf), axis=0)
+        return jnp.where(jnp.isfinite(lo), 0.5 * (lo + hi), 0.0)
+
+    cen_a = center_of(ca, ma)
+    cen_b = center_of(cb, mb)
+    q8 = jnp.zeros((ma_n + mb_n, 8), jnp.float32)
+    q8 = q8.at[:ma_n, :3].set(qa - cen_a).at[ma_n:, :3].set(qb - cen_b)
+    ct = jnp.full((8, na + nb), SENTINEL, jnp.float32)
+    ct = ct.at[:3, :na].set(jnp.where(ma[:, None], ca - cen_a, SENTINEL).T)
+    ct = ct.at[:3, na:].set(jnp.where(mb[:, None], cb - cen_b, SENTINEL).T)
+    ct = ct.at[3:, :].set(0.0)
+
+    def tiles(count, total, tile):
+        if count is None:
+            return jnp.int32(total)
+        return jnp.clip((count.astype(jnp.int32) + tile - 1) // tile, 1, total).astype(jnp.int32)
+
+    qa_t, ca_t = ma_n // TM, na // TN
+    qb_t, cb_t = mb_n // TM, nb // TN
+    nt = jnp.stack([
+        tiles(a_counts[0], qa_t, TM), tiles(b_counts[0], qb_t, TM),
+        tiles(a_counts[1], ca_t, TN), tiles(b_counts[1], cb_t, TN),
+    ])
+
+    grid = (qa_t * ca_t + qb_t * cb_t,)
+
+    def q_map(t, nt_):
+        i, _, _, in_a = _pair_decode(t, qa_t, ca_t, cb_t)
+        lim = jnp.where(in_a, nt_[0] - 1, qa_t + nt_[1] - 1)
+        return (jnp.minimum(i, lim), 0)
+
+    def c_map(t, nt_):
+        _, j, j0, in_a = _pair_decode(t, qa_t, ca_t, cb_t)
+        lim = jnp.where(in_a, nt_[2] - 1, nt_[3] - 1)
+        base = jnp.where(in_a, 0, ca_t)
+        return (0, base + jnp.minimum(j0, lim))
+
+    def o_map(t, nt_):
+        i, _, _, _ = _pair_decode(t, qa_t, ca_t, cb_t)
+        return (i, 0)
+
+    keys = pl.pallas_call(
+        _grouped_kernel(qa_t, ca_t, cb_t),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, 8), q_map),
+                pl.BlockSpec((8, TN), c_map),
+            ],
+            out_specs=pl.BlockSpec((TM, _LANES), o_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ma_n + mb_n, _LANES), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=9 * (ma_n * na + mb_n * nb),
+            bytes_accessed=(ma_n + mb_n + na + nb) * 32,
+            transcendentals=0,
+        ),
+    )(nt, q8, ct)
+
+    k = max(ka, kb)
+    neg, lane = jax.lax.top_k(-keys, k)
+    kk = -neg
+    d2 = jax.lax.bitcast_convert_type(kk & ~_GMASK, jnp.float32)
+    idx = (kk & _GMASK) * _LANES + lane
+    d2a, idx_a = d2[:ma_n, :ka], jnp.minimum(idx[:ma_n, :ka], na - 1).astype(jnp.int32)
+    d2b = d2[ma_n:, :kb]
+    idx_b = jnp.clip(idx[ma_n:, :kb] - na, 0, nb - 1).astype(jnp.int32)
+    return (d2a, idx_a), (d2b, idx_b)
+
+
 def _pad_to(x: jax.Array, n: int, value: float) -> jax.Array:
     if x.shape[0] == n:
         return x
