@@ -78,21 +78,50 @@ def aggregate(trace_dir: str, n_steps: int, top: int) -> None:
     if not paths:
         print("no trace files found under", trace_dir)
         return
-    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    # device-track pids: process names containing TPU / device
+    # Merge events from every exported trace file (multi-device / multi-host
+    # exports write one file per host; taking only the newest silently drops
+    # the other devices' tracks).
+    events = []
+    for p in sorted(paths):
+        with gzip.open(p, "rt") as f:
+            events.extend(json.load(f).get("traceEvents", []))
+    if len(paths) > 1:
+        print(f"merged {len(paths)} trace files")
+    # Device-track pids: process names containing TPU / device.
     dev_pids = set()
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             nm = e.get("args", {}).get("name", "")
             if "TPU" in nm or "/device" in nm.lower():
                 dev_pids.add(e["pid"])
+    if not dev_pids:
+        print(
+            "WARNING: no TPU/device process tracks found in the trace "
+            "(CPU-only run?) — nothing to aggregate."
+        )
+        return
+    # XLA trace exports nest parallel tracks under the device process:
+    # 'XLA Modules' (whole-module spans), 'XLA Ops' (per-op), 'XLA TraceMe',
+    # plus step tracks.  Summing all ph=='X' events across every thread
+    # double-counts module spans over the ops inside them, so restrict to
+    # the 'XLA Ops' tids only.
+    op_tids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            if e.get("args", {}).get("name") == "XLA Ops" and e.get("pid") in dev_pids:
+                op_tids.add((e["pid"], e.get("tid")))
+    if not op_tids:
+        print(
+            "WARNING: device tracks found but no 'XLA Ops' thread — falling "
+            "back to all device threads (totals may double-count module spans)."
+        )
     by_op: dict[str, float] = collections.defaultdict(float)
     cnt: dict[str, int] = collections.defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3  # us -> ms
@@ -118,7 +147,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument(
+        "--outdir",
+        default=None,
+        help="write the trace here and keep it (for TensorBoard); "
+        "default is a temp dir removed after aggregation",
+    )
     args = ap.parse_args()
+
+    import shutil
 
     import jax
     import numpy as np
@@ -128,13 +165,19 @@ def main() -> None:
         state, out = step(state, *f)
     np.asarray(out.mo_pose)
 
-    trace_dir = tempfile.mkdtemp(prefix="vloam_trace_")
+    trace_dir = args.outdir or tempfile.mkdtemp(prefix="vloam_trace_")
     with jax.profiler.trace(trace_dir):
         for k in range(args.steps):
             f = frames[2 + k % (len(frames) - 2)]
             state, out = step(state, *f)
         np.asarray(out.mo_pose)
-    aggregate(trace_dir, args.steps, args.top)
+    print("trace dir:", trace_dir)
+    try:
+        aggregate(trace_dir, args.steps, args.top)
+    finally:
+        if args.outdir is None:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            print("(temp trace removed; pass --outdir to keep it for TensorBoard)")
 
 
 if __name__ == "__main__":

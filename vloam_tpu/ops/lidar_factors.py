@@ -42,3 +42,12 @@ def plane_from_three_points(j: jax.Array, l: jax.Array, m: jax.Array) -> tuple[j
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-10)
     d = -jnp.sum(n * j, axis=-1)
     return n, d
+
+
+def distance_residual(pose: jax.Array, p: jax.Array, closest: jax.Array) -> jax.Array:
+    """(B,3) point-to-point residuals: r = (R p + t) - closest.
+
+    Reference ``LidarDistanceFactor`` (lidarFactor.hpp:146-177) — unused by
+    the active LO/MO paths there but part of the solver-layer inventory.
+    """
+    return geo.pose_apply(pose, p) - closest
