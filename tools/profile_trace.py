@@ -115,19 +115,40 @@ def aggregate(trace_dir: str, n_steps: int, top: int) -> None:
             "WARNING: device tracks found but no 'XLA Ops' thread — falling "
             "back to all device threads (totals may double-count module spans)."
         )
-    by_op: dict[str, float] = collections.defaultdict(float)
-    cnt: dict[str, int] = collections.defaultdict(int)
-    total = 0.0
+    # Collect op events, then convert to SELF time: control-flow ops (cond /
+    # while / fusion regions) export spans that contain their body ops on the
+    # same thread, so raw durations double-count.  Subtract each event's
+    # directly-nested children via an interval sweep per tid.
+    evs = []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         if op_tids and (e["pid"], e.get("tid")) not in op_tids:
             continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        by_op[name] += dur
-        cnt[name] += 1
-        total += dur
+        evs.append((e["pid"], e.get("tid"), e.get("ts", 0), e.get("dur", 0),
+                    e.get("name", "?")))
+    by_op: dict[str, float] = collections.defaultdict(float)
+    cnt: dict[str, int] = collections.defaultdict(int)
+    total = 0.0
+    by_tid: dict[tuple, list] = collections.defaultdict(list)
+    for pid, tid, ts, dur, name in evs:
+        by_tid[(pid, tid)].append((ts, dur, name))
+    for tid_evs in by_tid.values():
+        tid_evs.sort(key=lambda e: (e[0], -e[1]))   # by start, longest first
+        stack = []  # (end, child_sum_accumulator_index)
+        selfs = []
+        for ts, dur, name in tid_evs:
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                selfs[stack[-1][1]][1] -= dur       # subtract from parent
+            selfs.append([name, dur])
+            stack.append((ts + dur, len(selfs) - 1))
+        for name, self_dur in selfs:
+            ms = max(self_dur, 0) / 1e3
+            by_op[name] += ms
+            cnt[name] += 1
+            total += ms
     print(f"device total {total:.2f} ms over {n_steps} steps = {total/n_steps:.3f} ms/step\n")
     print(f"{'ms/step':>9}  {'count':>6}  op")
     for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.ops import lidar_factors
-from vloam_tpu.ops.gauss_newton import solve_pose_gn
+from vloam_tpu.ops.gauss_newton import solve_pose_gn  # noqa: F401 (distributed path)
+from vloam_tpu.ops.pallas_gn import solve_pose_gn_lidar
 from vloam_tpu.ops.knn import knn, nn1
 from vloam_tpu.ops.linalg3 import eigh3x3, solve3x3
 from vloam_tpu.ops.voxel import voxel_downsample
@@ -282,6 +283,19 @@ def mapping_step(
         surf_in, surf_in_mask, mc.plane_resolution, mc.surf_stack_cap,
         max_grid=512, presorted=True,
     )
+    # Morton-sort the stacks: ring/azimuth order sweeps the whole 360° scan,
+    # so a 256-row query block would span the scene and defeat the AABB tile
+    # pruning inside the 5-NN kernel.  Sorting by local coords keeps world
+    # blocks equally compact (rigid transform), and the order is irrelevant
+    # to fits / GN / inserts (only f32 summation order shifts, sub-mm).
+    # TPU-only: the CPU/GPU fallback k-NN does no tile pruning, so sorting
+    # there would only perturb the reference-exact test numerics.
+    _tpu = jax.default_backend() not in ("cpu", "gpu")
+    if _tpu:
+        from vloam_tpu.ops.knn import morton_sort
+
+        corner_stack, cs_mask = morton_sort(corner_stack, cs_mask, cell=2.0)
+        surf_stack, ss_mask = morton_sort(surf_stack, ss_mask, cell=2.0)
 
     center = cube_coord_of(geo.pose_t(pose0)[None, :], mc.cube_size)[0]
     coords = _submap_coords(center, cfg)
@@ -293,6 +307,16 @@ def mapping_step(
         # and inserts are appended to the cache below.
         def rebuild(_):
             (cp, cm), (sp, sm), _, _ = _gather_submap(state, coords, cfg)
+            if jax.default_backend() not in ("cpu", "gpu"):
+                # Morton-sort the rebuilt cache (world coords, around the
+                # window centre) so candidate tiles are compact for AABB
+                # pruning; the per-frame appended tail is naturally local
+                # (points near the current pose) and needs no re-sort.
+                from vloam_tpu.ops.knn import morton_sort
+
+                org = (center.astype(jnp.float32) * mc.cube_size)[None, :]
+                cp, cm = morton_sort(cp, cm, cell=4.0, origin=org)
+                sp, sm = morton_sort(sp, sm, cell=4.0, origin=org)
             return cp, jnp.sum(cm).astype(jnp.int32), sp, jnp.sum(sm).astype(jnp.int32)
 
         def cached(_):
@@ -324,10 +348,15 @@ def mapping_step(
             # (corner stack vs corner submap, surf stack vs surf submap)
             qc = geo.pose_apply(pose, corner_stack[:, :3])
             qs = geo.pose_apply(pose, surf_stack[:, :3])
+            # Radius-clamped search: every consumer gates at
+            # neighbor_dist_sq (fits) or the smaller insert-dedup radius, so
+            # AABB-pruning tiles beyond sqrt(neighbor_dist_sq) is exact.
+            r_prune = float(mc.neighbor_dist_sq) ** 0.5 * 1.001
             (d2c, idxc), (d2s, idxs) = knn_lanemin_pair(
                 qc, c_pts[:, :3], c_mask, mc.n_neighbors,
                 qs, s_pts[:, :3], s_mask, mc.n_neighbors,
                 a_counts=(cs_n, c_n), b_counts=(ss_n, s_n),
+                prune_radius=(r_prune, r_prune),
             )
             nbr_c = jnp.take(c_pts[:, :3], idxc, axis=0)
             p_e, a_e, b_e, v_e = fit_corner_lines(corner_stack, cs_mask, nbr_c, d2c, cfg)
@@ -336,13 +365,13 @@ def mapping_step(
             p_s, n_s, d_s, v_s = fit_surf_planes(surf_stack, ss_mask, nbr_s, d2s, cfg)
             nn_s = d2s[:, 0]
 
-            def residuals(p):
-                return (
-                    (lidar_factors.edge_residual(p, p_e, a_e, b_e), v_e),
-                    (lidar_factors.plane_residual(p, p_s, n_s, d_s), v_s),
-                )
-
-            pose = solve_pose_gn(residuals, pose, mc.inner_iters, mc.huber_delta, mc.lm_lambda)
+            # All 4 inner iterations fuse into ONE Pallas launch on TPU
+            # (analytic Jacobians + in-kernel 6x6 solves); solve_pose_gn is
+            # the CPU fallback inside solve_pose_gn_lidar.
+            pose = solve_pose_gn_lidar(
+                pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
+                mc.inner_iters, mc.huber_delta, mc.lm_lambda,
+            )
         return pose, nn_c, nn_s
 
     pose_w, nn_c, nn_s = jax.lax.cond(

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.ops import lidar_factors
-from vloam_tpu.ops.gauss_newton import solve_pose_gn
 from vloam_tpu.ops.knn import knn, masked_argmin
+from vloam_tpu.ops.pallas_gn import solve_pose_gn_lidar
 from vloam_tpu.ops.scan_registration import ScanFeatures
 
 _INF = jnp.float32(3.4e38)
@@ -153,13 +153,12 @@ def lo_step(
                 cand_count=surf_n,
             )
 
-            def residuals(p):
-                return (
-                    (lidar_factors.edge_residual(p, p_e, a_e, b_e), v_e),
-                    (lidar_factors.plane_residual(p, p_s, n_s, d_s), v_s),
-                )
-
-            pose = solve_pose_gn(residuals, pose, oc.inner_iters, oc.huber_delta, oc.lm_lambda)
+            # All inner iterations fuse into ONE Pallas launch on TPU
+            # (solve_pose_gn is the CPU fallback inside).
+            pose = solve_pose_gn_lidar(
+                pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
+                oc.inner_iters, oc.huber_delta, oc.lm_lambda,
+            )
         counts = jnp.stack(
             [jnp.sum(v_e, dtype=jnp.int32), jnp.sum(v_s, dtype=jnp.int32)]
         )

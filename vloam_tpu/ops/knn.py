@@ -177,6 +177,45 @@ def compact_rows(
     return out, jnp.arange(out_cap) < total
 
 
+def _part1by2(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of v so they occupy every third bit."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_keys(pts: jax.Array, cell: float, origin: jax.Array | float = 0.0) -> jax.Array:
+    """(N, 3) -> (N,) int32 Morton (Z-order) keys at ``cell`` resolution.
+
+    Coordinates are binned relative to ``origin`` with a +512-cell offset so
+    ±512*cell around the origin maps into the 10-bit/axis key space (clipped
+    beyond — distant outliers collapse onto the boundary cells, which only
+    costs pruning efficiency, never correctness)."""
+    g = jnp.clip(
+        jnp.floor((pts[:, :3] - origin) / cell).astype(jnp.int32) + 512, 0, 1023
+    )
+    return _part1by2(g[:, 0]) | (_part1by2(g[:, 1]) << 1) | (_part1by2(g[:, 2]) << 2)
+
+
+def morton_sort(
+    pts: jax.Array, mask: jax.Array, cell: float, origin: jax.Array | float = 0.0
+) -> tuple[jax.Array, jax.Array]:
+    """Sort a prefix-compacted point buffer into Morton order.
+
+    Consecutive rows become spatially adjacent, which is what makes the
+    AABB tile pruning in pallas_knn effective (a TM/TN-row block covers a
+    compact region instead of a full ring sweep).  Invalid rows sort to the
+    tail, so a prefix mask stays a prefix mask.  Row order is irrelevant to
+    every consumer of the feature stacks and submap caches (fits, GN
+    residuals, scatter inserts are order-free)."""
+    key = jnp.where(mask, morton_keys(pts, cell, origin), jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    return jnp.take(pts, order, axis=0), jnp.take(mask, order)
+
+
 def masked_argmin(
     d2: jax.Array, valid: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

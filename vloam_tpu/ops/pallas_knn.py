@@ -124,14 +124,20 @@ def _pair_decode(t, qa_t, ca_t, cb_t):
 def _grouped_kernel(qa_tiles: int, ca_tiles: int, cb_tiles: int):
     """Kernel for two independent (query set, candidate set) problems fused
     into ONE flat-grid launch of exactly qa*ca + qb*cb tile steps — the same
-    tile work as two separate launches, sharing scheduling and the epilogue."""
+    tile work as two separate launches, sharing scheduling and the epilogue.
 
-    def kernel(nt_ref, q_ref, ct_ref, out_ref):
+    ``sched_ref`` carries one int32 per flat step: low 16 bits = the global
+    candidate col-block this step should load (a spatially-pruned step repeats
+    the previous surviving block, so its DMA is elided), bit 16 = survive flag
+    (box-distance pruning; see the ``prune_radius`` contract in
+    knn_lanemin_pair)."""
+
+    def kernel(nt_ref, sched_ref, q_ref, ct_ref, out_ref):
         t = pl.program_id(0)
         i, j, j0, in_a = _pair_decode(t, qa_tiles, ca_tiles, cb_tiles)
         q_ok = jnp.where(in_a, i < nt_ref[0], i - qa_tiles < nt_ref[1])
         c_ok = jnp.where(in_a, j0 < nt_ref[2], j0 < nt_ref[3])
-        active = q_ok & c_ok
+        active = q_ok & c_ok & (sched_ref[t] > 0xFFFF)
 
         @pl.when(j0 == 0)
         def _():
@@ -147,6 +153,8 @@ def _grouped_kernel(qa_tiles: int, ca_tiles: int, cb_tiles: int):
             n_groups = TN // _LANES
             acc = None
             for r in range(n_groups):
+                # active => the loaded block IS block j (cummax maps a
+                # surviving step to itself), so the group id stays j-based.
                 g = j * n_groups + r
                 key = (bits[:, r * _LANES:(r + 1) * _LANES] & ~_GMASK) | g
                 acc = key if acc is None else jnp.minimum(acc, key)
@@ -155,11 +163,31 @@ def _grouped_kernel(qa_tiles: int, ca_tiles: int, cb_tiles: int):
     return kernel
 
 
+def _box_dist2(qlo, qhi, clo, chi):
+    """Squared distance between axis-aligned boxes (blocks x tiles, 3)."""
+    gap = jnp.maximum(
+        0.0, jnp.maximum(qlo[:, None] - chi[None], clo[None] - qhi[:, None])
+    )
+    return jnp.sum(gap * gap, axis=-1)
+
+
+def _block_aabb(x, valid, n_blocks, tile):
+    """(n, 3) + (n,) bool -> per-block (lo, hi); empty blocks get +inf/-inf
+    (their box distance is +inf, so they never survive pruning)."""
+    xb = x.reshape(n_blocks, tile, 3)
+    vb = valid.reshape(n_blocks, tile, 1)
+    lo = jnp.min(jnp.where(vb, xb, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(vb, xb, -jnp.inf), axis=1)
+    return lo, hi
+
+
 def knn_lanemin_pair(
     qa: jax.Array, ca: jax.Array, ma: jax.Array, ka: int,
     qb: jax.Array, cb: jax.Array, mb: jax.Array, kb: int,
     a_counts: tuple = (None, None),   # (query_count, cand_count) group A
     b_counts: tuple = (None, None),
+    prune_radius: tuple = (None, None),
+    _force_tpu_path: bool = False,    # tests: run the kernel under interpret mode
 ) -> tuple[tuple[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
     """Two independent k-NN problems in ONE kernel launch + ONE epilogue.
 
@@ -168,14 +196,25 @@ def knn_lanemin_pair(
     halves the fixed per-launch and per-epilogue costs.  Shapes must be
     TM/TN-aligned (the mapping stack/submap caps are).  Same approximation
     contract as knn_lanemin; combined padded candidates must fit the 9-bit
-    group id space (<= 65536)."""
+    group id space (<= 65536).
+
+    ``prune_radius`` (per group, static float or None): radius-clamped search.
+    A (query block, candidate tile) step is skipped when the axis-aligned
+    bounding boxes are farther than the radius apart, and neighbours beyond
+    the radius may be reported as d2 = +inf.  Every true neighbour within the
+    radius is still found per the lane-class contract, so any consumer that
+    gates correspondences at d2 < r^2 (the mapping fits gate at
+    neighbor_dist_sq = 1 m^2, laser_mapping.cpp:557,642, and the insert-dedup
+    gate at <= 0.4^2) gets exactly the ungated result.  Pruning pays off when
+    queries and candidates are spatially sorted (Morton order) so blocks are
+    compact — see laser_mapping.mapping_step."""
     ma_n, na = qa.shape[0], ca.shape[0]
     mb_n, nb = qb.shape[0], cb.shape[0]
     aligned = (
         ma_n % TM == 0 and mb_n % TM == 0 and na % TN == 0 and nb % TN == 0
         and na + nb <= _LANES * (1 << _GBITS) and ka <= _LANES and kb <= _LANES
     )
-    if jax.default_backend() in ("cpu", "gpu") or not aligned:
+    if (jax.default_backend() in ("cpu", "gpu") and not _force_tpu_path) or not aligned:
         from vloam_tpu.ops.knn import knn
 
         return (
@@ -211,25 +250,55 @@ def knn_lanemin_pair(
 
     grid = (qa_t * ca_t + qb_t * cb_t,)
 
-    def q_map(t, nt_):
+    def group_sched(r, q, qcount, m_n, c, cmask, q_tiles, c_tiles, col_base):
+        """(q_tiles * c_tiles,) int32 schedule for one group: low 16 bits =
+        global col block to load, bit 16 = survive."""
+        iota_c = jnp.arange(c_tiles, dtype=jnp.int32)
+        if r is None:
+            surv = jnp.ones((q_tiles, c_tiles), bool)
+        else:
+            qvalid = (
+                jnp.arange(m_n) < qcount if qcount is not None
+                else jnp.ones((m_n,), bool)
+            )
+            qlo, qhi = _block_aabb(q, qvalid, q_tiles, TM)
+            clo, chi = _block_aabb(c, cmask, c_tiles, TN)
+            surv = _box_dist2(qlo, qhi, clo, chi) <= jnp.float32(r) ** 2
+        # Pruned steps repeat the last surviving block (cummax) so their DMA
+        # is elided; a row with no survivor yet repeats block 0.
+        jm = jax.lax.cummax(jnp.where(surv, iota_c[None, :], 0), axis=1)
+        return ((jm + col_base) | (surv.astype(jnp.int32) << 16)).reshape(-1)
+
+    sched = jnp.concatenate([
+        group_sched(prune_radius[0], q8[:ma_n, :3], a_counts[0], ma_n,
+                    ct[:3, :na].T, ma, qa_t, ca_t, 0),
+        group_sched(prune_radius[1], q8[ma_n:, :3], b_counts[0], mb_n,
+                    ct[:3, na:].T, mb, qb_t, cb_t, ca_t),
+    ])
+
+    def q_map(t, nt_, sched_):
         i, _, _, in_a = _pair_decode(t, qa_t, ca_t, cb_t)
         lim = jnp.where(in_a, nt_[0] - 1, qa_t + nt_[1] - 1)
         return (jnp.minimum(i, lim), 0)
 
-    def c_map(t, nt_):
-        _, j, j0, in_a = _pair_decode(t, qa_t, ca_t, cb_t)
-        lim = jnp.where(in_a, nt_[2] - 1, nt_[3] - 1)
-        base = jnp.where(in_a, 0, ca_t)
-        return (0, base + jnp.minimum(j0, lim))
+    def c_map(t, nt_, sched_):
+        _, _, _, in_a = _pair_decode(t, qa_t, ca_t, cb_t)
+        col = sched_[t] & 0xFFFF
+        col = jnp.where(
+            in_a,
+            jnp.minimum(col, nt_[2] - 1),
+            jnp.minimum(col - ca_t, nt_[3] - 1) + ca_t,
+        )
+        return (0, col)
 
-    def o_map(t, nt_):
+    def o_map(t, nt_, sched_):
         i, _, _, _ = _pair_decode(t, qa_t, ca_t, cb_t)
         return (i, 0)
 
     keys = pl.pallas_call(
         _grouped_kernel(qa_t, ca_t, cb_t),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((TM, 8), q_map),
@@ -243,12 +312,17 @@ def knn_lanemin_pair(
             bytes_accessed=(ma_n + mb_n + na + nb) * 32,
             transcendentals=0,
         ),
-    )(nt, q8, ct)
+    )(nt, sched, q8, ct)
 
     k = max(ka, kb)
     neg, lane = jax.lax.top_k(-keys, k)
     kk = -neg
     d2 = jax.lax.bitcast_convert_type(kk & ~_GMASK, jnp.float32)
+    # Lanes never written (query tile skipped, or every candidate tile pruned
+    # for this block) hold int32-max keys that decode to NaN; report +inf so
+    # distance gates reject and the insert-dedup "no neighbour nearby" branch
+    # still fires (NaN would silently fail BOTH comparisons).
+    d2 = jnp.where(jnp.isnan(d2), jnp.inf, d2)
     idx = (kk & _GMASK) * _LANES + lane
     d2a, idx_a = d2[:ma_n, :ka], jnp.minimum(idx[:ma_n, :ka], na - 1).astype(jnp.int32)
     d2b = d2[ma_n:, :kb]
