@@ -8,7 +8,7 @@ exact (N, P, P) windows at integer corners."""
 import numpy as np
 import jax.numpy as jnp
 
-from vloam_tpu.ops.pallas_gather import gather_patches_pair, make_img8
+from vloam_tpu.ops.pallas_gather import gather_patches_pair, pad_img
 
 
 def test_pair_matches_numpy(rng):
@@ -27,9 +27,15 @@ def test_pair_matches_numpy(rng):
             np.asarray(B)[k], img1[cb[k, 1]:cb[k, 1] + P, cb[k, 0]:cb[k, 0] + P])
 
 
-def test_img8_row_identity(rng):
-    """img8[r, y] == img[y + r] — the row-alignment trick's contract."""
-    img = rng.uniform(0, 255, (64, 256)).astype(np.float32)
-    i8 = np.asarray(make_img8(jnp.array(img)))
-    for r in range(8):
-        np.testing.assert_array_equal(i8[r, : 64 - r, :256], img[r:, :])
+def test_pad_img_bounds(rng):
+    """pad_img guarantees every legal DMA band stays in bounds: an 8-aligned
+    (P+8)-row band below any corner row <= H-P, and a 128-aligned 256-lane
+    band left of any corner col <= W-P."""
+    for H, W in ((64, 256), (376, 1241), (375, 1242)):
+        img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        padded = np.asarray(pad_img(jnp.array(img)))
+        np.testing.assert_array_equal(padded[:H, :W], img)
+        P = 32
+        assert padded.shape[0] % 8 == 0 and padded.shape[1] % 128 == 0
+        assert padded.shape[0] >= (H - P) - (H - P) % 8 + P + 8
+        assert padded.shape[1] >= ((W - P) // 128) * 128 + 256

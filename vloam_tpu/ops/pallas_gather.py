@@ -8,22 +8,25 @@ from HBM into VMEM and compacts in-register — faster end-to-end, and the
 copies overlap with the per-patch compaction.
 
 TPU DMA legality (Mosaic) requires HBM slice offsets aligned to the tile
-grid: rows mod 8, lanes mod 128 (and lane widths mod 128).  Two tricks make
-arbitrary integer corners legal:
-  * rows: the image is pre-rolled into 8 copies ``img8[r] = roll(img, -r)``
-    (one cheap fused op, ~15 MB HBM for KITTI frames) so any row offset is
-    reachable from an 8-aligned base in the right copy;
-  * lanes: the DMA grabs a 256-lane band from a 128-aligned base and the
-    kernel rotates lanes in-register (``pltpu.roll`` on the lane axis) before
-    writing the exact (P, P) window.  Dynamic SUBLANE rotates are not
-    supported by Mosaic — hence the img8 row trick instead of a row roll.
+grid: rows mod 8, lanes mod 128 (and lane widths mod 128).  Two in-register
+tricks make arbitrary integer corners legal with ZERO image preprocessing:
 
-Kernel I/O per keypoint: one (P, 256) f32 DMA + one lane roll + one (P, P)
-store.  Keypoints are processed in blocks of B per grid step; all B DMAs are
-in flight before the first compaction waits.  Multiple source images ride in
-ONE kernel launch as a stacked (n_img, 8, H, W) ref with a per-keypoint
-image id — one ref/one scalar-arg keeps the kernel inside the SMEM budget
-(a two-ref variant overflows v5e scalar memory).
+  * lanes: the DMA grabs a 256-lane band from a 128-aligned base and the
+    kernel rotates lanes in-register (``pltpu.roll`` on the lane axis,
+    dynamic shifts supported) before keeping the first P columns;
+  * rows: the DMA grabs P+8 rows from an 8-aligned base and the kernel
+    selects among the 8 STATIC sublane offsets (dynamic sublane rotates are
+    not supported by Mosaic, but static slices + a scalar-predicated select
+    chain are) — this replaces an earlier scheme that pre-rolled every image
+    into 8 shifted HBM copies, which cost ~1.5 ms/frame of pure HBM
+    bandwidth on KITTI-sized frames before any patch was gathered.
+
+Kernel I/O per keypoint: one (P+8, 256) f32 DMA + one lane roll + an 8-way
+select + one (P, P) store.  Keypoints are processed in blocks of B per grid
+step; all B DMAs are in flight before the first compaction waits.  Multiple
+source images ride in ONE kernel launch as a stacked (n_img, H_pad, W_pad)
+ref with a per-keypoint image id — one ref/one scalar-arg keeps the kernel
+inside the SMEM budget (a two-ref variant overflows v5e scalar memory).
 
 The CPU fallback (and the reference semantics oracle) is the vmapped
 dynamic_slice in ops/image_ops._slice_patches.
@@ -41,26 +44,26 @@ _LW = 256        # lane-aligned DMA band width
 _B = 32          # keypoints per grid step
 
 
-def make_img8(img: jax.Array) -> jax.Array:
-    """(H, W) -> (8, H, W_pad) row-rolled copies; copy r holds img shifted up
-    r rows.  Lanes are zero-padded so every 128-aligned 256-lane DMA band
-    below any legal corner stays in bounds (pad columns never reach the
-    extracted window — the lane rotate discards them)."""
-    W = img.shape[1]
+def pad_img(img: jax.Array) -> jax.Array:
+    """(H, W) -> (H_pad, W_pad): rows padded so an 8-aligned (P+8)-row band
+    below any legal corner stays in bounds, lanes so any 128-aligned 256-lane
+    band does.  Pad content never reaches an extracted window."""
+    H, W = img.shape
+    H_pad = ((H - 1) // 8 + 2) * 8
     W_pad = ((W - 1) // 128 + 2) * 128
-    img = jnp.pad(img, ((0, 0), (0, W_pad - W)))
-    return jnp.stack([jnp.roll(img, -r, 0) for r in range(8)])
+    return jnp.pad(img, ((0, H_pad - H), (0, W_pad - W)))
 
 
 @functools.partial(jax.jit, static_argnames=("P",))
-def _gather_stacked_tpu(imgs8, meta, P: int):
-    """imgs8: (n_img, 8, H, W); meta: (3, N) int32 rows (img_id; cx; cy) —
-    transposed so SMEM's last-dim padding (to 128 lanes) stays tiny.
+def _gather_stacked_tpu(imgs, meta, P: int):
+    """imgs: (n_img, H_pad, W_pad); meta: (3, N) int32 rows (img_id; cx; cy)
+    — transposed so SMEM's last-dim padding (to 128 lanes) stays tiny.
     Returns (N, P, P) patches."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = meta.shape[1]
+    P8 = P + 8
 
     def kernel(meta_ref, img_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
@@ -77,16 +80,20 @@ def _gather_stacked_tpu(imgs8, meta, P: int):
         for k in range(_B):
             b, dy, dx, cy8, cx128 = addr(k)
             pltpu.make_async_copy(
-                img_ref.at[b, dy, pl.ds(cy8, P), pl.ds(cx128, _LW)],
+                img_ref.at[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)],
                 scratch.at[k], sem.at[k],
             ).start()
         for k in range(_B):
             b, dy, dx, cy8, cx128 = addr(k)
             pltpu.make_async_copy(
-                img_ref.at[b, dy, pl.ds(cy8, P), pl.ds(cx128, _LW)],
+                img_ref.at[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)],
                 scratch.at[k], sem.at[k],
             ).wait()
-            out_ref[k] = pltpu.roll(scratch[k], -dx, 1)[:, :P]
+            rolled = pltpu.roll(scratch[k], -dx, 1)[:, :P]   # (P8, P)
+            sel = rolled[7:7 + P, :]
+            for r in range(6, -1, -1):
+                sel = jnp.where(dy == r, rolled[r:r + P, :], sel)
+            out_ref[k] = sel
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -94,7 +101,7 @@ def _gather_stacked_tpu(imgs8, meta, P: int):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((_B, P, P), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_B, P, _LW), jnp.float32),
+            pltpu.VMEM((_B, P8, _LW), jnp.float32),
             pltpu.SemaphoreType.DMA((_B,)),
         ],
     )
@@ -102,7 +109,7 @@ def _gather_stacked_tpu(imgs8, meta, P: int):
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, P, P), jnp.float32),
         grid_spec=grid_spec,
-    )(meta, imgs8)
+    )(meta, imgs)
 
 
 def gather_patches(
@@ -117,11 +124,10 @@ def gather_patches(
         from vloam_tpu.ops.image_ops import _slice_patches
 
         return _slice_patches(img, corners, P)
-    imgs8 = make_img8(img)[None]
     meta = jnp.stack(
         [jnp.zeros((N,), jnp.int32), corners[:, 0], corners[:, 1]]
     )
-    return _gather_stacked_tpu(imgs8, meta, P)
+    return _gather_stacked_tpu(pad_img(img)[None], meta, P)
 
 
 def gather_patches_stack(
@@ -137,11 +143,10 @@ def gather_patches_stack(
         from vloam_tpu.ops.image_ops import _slice_patches_multi
 
         return _slice_patches_multi(imgs, corners, P).transpose(1, 0, 2, 3)
-    imgs8 = jax.vmap(make_img8)(imgs)                      # (C, 8, H, W_pad)
     ids = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
     cxy = jnp.tile(corners, (C, 1))
     meta = jnp.stack([ids, cxy[:, 0], cxy[:, 1]])
-    out = _gather_stacked_tpu(imgs8, meta, P)              # (C*N, P, P)
+    out = _gather_stacked_tpu(jax.vmap(pad_img)(imgs), meta, P)   # (C*N, P, P)
     return out.reshape(C, N, P, P)
 
 
@@ -165,9 +170,9 @@ def gather_patches_pair(
 
         return _slice_patches(img_a, corners_a, P), _slice_patches(img_b, corners_b, P)
 
-    imgs8 = jnp.stack([make_img8(img_a), make_img8(img_b)])
+    imgs = jnp.stack([pad_img(img_a), pad_img(img_b)])
     ids = jnp.concatenate([jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32)])
     cxy = jnp.concatenate([corners_a, corners_b])          # (2N, 2)
     meta = jnp.stack([ids, cxy[:, 0], cxy[:, 1]])          # (3, 2N)
-    out = _gather_stacked_tpu(imgs8, meta, P)
+    out = _gather_stacked_tpu(imgs, meta, P)
     return out[:N], out[N:]
