@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from vloam_tpu import geometry as geo
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.ops import lidar_factors
-from vloam_tpu.ops.knn import knn, masked_argmin
+from vloam_tpu.ops.knn import masked_argmin
 from vloam_tpu.ops.pallas_gn import solve_pose_gn_lidar
 from vloam_tpu.ops.scan_registration import ScanFeatures
 
@@ -52,8 +52,8 @@ def init_lo_state(cfg: VloamConfig) -> LoState:
     )
 
 
-def _ring_filtered_nn(pose, query, cand, cand_mask, cfg, cand_count=None):
-    """k-NN once, then resolve the ring-constrained picks from the list.
+def _ring_picks(d2, idx, cand, cfg):
+    """Resolve the ring-constrained picks from a k-NN list.
 
     The reference's kd-tree passes (laser_odometry.cpp:282-459) want, per
     query: the global nearest j, the nearest same-ring-as-j candidate != j,
@@ -67,8 +67,6 @@ def _ring_filtered_nn(pose, query, cand, cand_mask, cfg, cand_count=None):
     Returns (d2_1, j1, d2_same, j_same, d2_other, j_other).
     """
     oc = cfg.odom
-    q = geo.pose_apply(pose, query[:, :3])
-    d2, idx = knn(q, cand[:, :3], cand_mask, oc.assoc_k, cand_count=cand_count)
     ring_c = jnp.floor(cand[:, 3]).astype(jnp.int32)
     ring_n = jnp.take(ring_c, idx)                           # (M, k)
     ring1 = ring_n[:, 0]
@@ -85,28 +83,22 @@ def _ring_filtered_nn(pose, query, cand, cand_mask, cfg, cand_count=None):
     return d2_1, j1, d2_s, j_s, d2_o, j_o
 
 
-def _edge_correspondences(pose, sharp, sharp_mask, cand, cand_mask, cfg,
-                          cand_count=None):
+def _edge_correspondences(d2, idx, sharp, sharp_mask, cand, cfg):
     """Point-to-line data: for each sharp point, closest cand + nearest
     cand on a different-but-nearby ring (laser_odometry.cpp:282-356)."""
     oc = cfg.odom
-    d2_1, j1, _, _, d2_2, j2 = _ring_filtered_nn(
-        pose, sharp, cand, cand_mask, cfg, cand_count
-    )
+    d2_1, j1, _, _, d2_2, j2 = _ring_picks(d2, idx, cand, cfg)
     valid = sharp_mask & (d2_1 < oc.distance_sq_threshold) & (d2_2 < oc.distance_sq_threshold)
     a = jnp.take(cand[:, :3], j1, axis=0)
     b = jnp.take(cand[:, :3], j2, axis=0)
     return sharp[:, :3], a, b, valid
 
 
-def _plane_correspondences(pose, flat, flat_mask, cand, cand_mask, cfg,
-                           cand_count=None):
+def _plane_correspondences(d2, idx, flat, flat_mask, cand, cfg):
     """Point-to-plane data: closest cand j, nearest same-ring cand l (!= j),
     nearest nearby-other-ring cand m (laser_odometry.cpp:387-459)."""
     oc = cfg.odom
-    d2_1, j1, d2_2, j2, d2_3, j3 = _ring_filtered_nn(
-        pose, flat, cand, cand_mask, cfg, cand_count
-    )
+    d2_1, j1, d2_2, j2, d2_3, j3 = _ring_picks(d2, idx, cand, cfg)
     thr = oc.distance_sq_threshold
     valid = flat_mask & (d2_1 < thr) & (d2_2 < thr) & (d2_3 < thr)
     pj = jnp.take(cand[:, :3], j1, axis=0)
@@ -143,14 +135,25 @@ def lo_step(
     )
 
     def solve(pose_init):
+        from vloam_tpu.ops.pallas_knn import knn_lanemin_pair
+
         pose = pose_init
         for _ in range(oc.outer_iters):
+            # ONE fused kernel launch + epilogue for both association
+            # problems (sharp vs last less-sharp AND flat vs last less-flat);
+            # the CPU fallback inside is two plain knn calls.
+            q_e = geo.pose_apply(pose, feats.sharp[:, :3])
+            q_s = geo.pose_apply(pose, feats.flat[:, :3])
+            (d2e, idxe), (d2s, idxs) = knn_lanemin_pair(
+                q_e, state.last_corner[:, :3], state.last_corner_mask, oc.assoc_k,
+                q_s, state.last_surf[:, :3], state.last_surf_mask, oc.assoc_k,
+                b_counts=(None, surf_n),
+            )
             p_e, a_e, b_e, v_e = _edge_correspondences(
-                pose, feats.sharp, feats.sharp_mask, state.last_corner, state.last_corner_mask, cfg
+                d2e, idxe, feats.sharp, feats.sharp_mask, state.last_corner, cfg
             )
             p_s, n_s, d_s, v_s = _plane_correspondences(
-                pose, feats.flat, feats.flat_mask, state.last_surf, state.last_surf_mask, cfg,
-                cand_count=surf_n,
+                d2s, idxs, feats.flat, feats.flat_mask, state.last_surf, cfg
             )
 
             # All inner iterations fuse into ONE Pallas launch on TPU

@@ -210,17 +210,39 @@ def knn_lanemin_pair(
     compact — see laser_mapping.mapping_step."""
     ma_n, na = qa.shape[0], ca.shape[0]
     mb_n, nb = qb.shape[0], cb.shape[0]
-    aligned = (
-        ma_n % TM == 0 and mb_n % TM == 0 and na % TN == 0 and nb % TN == 0
-        and na + nb <= _LANES * (1 << _GBITS) and ka <= _LANES and kb <= _LANES
-    )
-    if (jax.default_backend() in ("cpu", "gpu") and not _force_tpu_path) or not aligned:
+    na_p, nb_p = -(-na // TN) * TN, -(-nb // TN) * TN
+    fits = na_p + nb_p <= _LANES * (1 << _GBITS) and ka <= _LANES and kb <= _LANES
+    if (jax.default_backend() in ("cpu", "gpu") and not _force_tpu_path) or not fits:
         from vloam_tpu.ops.knn import knn
 
         return (
             knn(qa, ca, ma, ka, cand_count=a_counts[1], query_count=a_counts[0]),
             knn(qb, cb, mb, kb, cand_count=b_counts[1], query_count=b_counts[0]),
         )
+
+    # Unaligned inputs are zero-padded (pad queries return sliced-off rows;
+    # pad candidates are masked out and clamped away in the epilogue).
+    def padq(q, count, m):
+        m_pad = -(-m // TM) * TM
+        if m_pad != m:
+            q = jnp.concatenate([q, jnp.zeros((m_pad - m, 3), q.dtype)])
+            count = jnp.int32(m) if count is None else count
+        return q, count, m_pad
+
+    def padc(c, msk, n, n_pad):
+        if n_pad != n:
+            c = jnp.concatenate([c, jnp.zeros((n_pad - n, 3), c.dtype)])
+            msk = jnp.concatenate([msk, jnp.zeros((n_pad - n,), bool)])
+        return c, msk
+
+    qa, a_qcount, ma_p = padq(qa, a_counts[0], ma_n)
+    qb, b_qcount, mb_p = padq(qb, b_counts[0], mb_n)
+    ca, ma = padc(ca, ma, na, na_p)
+    cb, mb = padc(cb, mb, nb, nb_p)
+    a_counts = (a_qcount, a_counts[1])
+    b_counts = (b_qcount, b_counts[1])
+    ma_orig, mb_orig, na_orig, nb_orig = ma_n, mb_n, na, nb
+    ma_n, mb_n, na, nb = ma_p, mb_p, na_p, nb_p
 
     def center_of(c, m):
         lo = jnp.min(jnp.where(m[:, None], c, jnp.inf), axis=0)
@@ -324,9 +346,10 @@ def knn_lanemin_pair(
     # still fires (NaN would silently fail BOTH comparisons).
     d2 = jnp.where(jnp.isnan(d2), jnp.inf, d2)
     idx = (kk & _GMASK) * _LANES + lane
-    d2a, idx_a = d2[:ma_n, :ka], jnp.minimum(idx[:ma_n, :ka], na - 1).astype(jnp.int32)
-    d2b = d2[ma_n:, :kb]
-    idx_b = jnp.clip(idx[ma_n:, :kb] - na, 0, nb - 1).astype(jnp.int32)
+    d2a = d2[:ma_orig, :ka]
+    idx_a = jnp.minimum(idx[:ma_orig, :ka], na_orig - 1).astype(jnp.int32)
+    d2b = d2[ma_n:ma_n + mb_orig, :kb]
+    idx_b = jnp.clip(idx[ma_n:ma_n + mb_orig, :kb] - na, 0, nb_orig - 1).astype(jnp.int32)
     return (d2a, idx_a), (d2b, idx_b)
 
 
