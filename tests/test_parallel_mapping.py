@@ -68,4 +68,4 @@ def test_sharded_matches_single_device():
     assert abs(int(mp_shard.corner_cnt.sum()) - c_single) <= max(5, c_single // 200)
     assert abs(int(mp_shard.surf_cnt.sum()) - s_single) <= max(5, s_single // 200)
     # cube arrays really are sharded
-    assert mp_shard.corner_pts.sharding.is_fully_replicated is False
+    assert mp_shard.cube_pts.sharding.is_fully_replicated is False

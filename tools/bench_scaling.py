@@ -105,7 +105,7 @@ def main() -> None:
         spec_rep = NamedSharding(mesh, P())
         state = jax.tree.map(
             lambda x: jax.device_put(
-                x, spec_cube if x.ndim and x.shape[0] == state.corner_pts.shape[0] else spec_rep
+                x, spec_cube if x.ndim and x.shape[0] == state.cube_pts.shape[0] else spec_rep
             ),
             state,
         )
@@ -122,8 +122,7 @@ def main() -> None:
         print(json.dumps({
             "metric": f"mapping_sharded_step_ms_S{S}", "value": round(dt, 3),
             "unit": "ms",
-            "map_capacity_pts": int(state.corner_pts.shape[0]) * int(state.corner_pts.shape[1])
-            + int(state.surf_pts.shape[0]) * int(state.surf_pts.shape[1]),
+            "map_capacity_pts": int(state.cube_pts.shape[0]) * int(state.cube_pts.shape[1]),
         }))
 
     base = times[shard_counts[0]]

@@ -9,7 +9,7 @@ from vloam_tpu.config import kitti_hdl64
 from vloam_tpu import geometry as geo
 from vloam_tpu.models.laser_mapping import (
     init_map_state, mapping_step, _gather_submap, _submap_coords,
-    _corner_correspondences, _surf_correspondences, _scatter_insert, cube_coord_of,
+    _corner_correspondences, _surf_correspondences, _scatter_insert_pair, cube_coord_of,
 )
 from vloam_tpu.ops.voxel import voxel_downsample
 from vloam_tpu.ops.knn import knn, nn1
@@ -47,7 +47,7 @@ sc_j = jax.jit(lambda p: _surf_correspondences(p, surf_stack, ss_mask, s_pts, s_
 knn_c_j = jax.jit(lambda q: knn(q, c_pts[:, :3], c_mask, mc.n_neighbors))
 knn_s_j = jax.jit(lambda q: knn(q, s_pts[:, :3], s_mask, mc.n_neighbors))
 nn1_j = jax.jit(lambda q: nn1(q, s_pts[:, :3], s_mask))
-ins_j = jax.jit(lambda p, m: _scatter_insert(p, m, state.corner_pts, state.corner_cnt, state.cube_coord, mc.corner_cube_cap, cfg))
+ins_j = jax.jit(lambda p, m: _scatter_insert_pair(p, m, surf_stack, ss_mask, state.cube_pts, state.corner_cnt, state.surf_cnt, state.cube_coord, cfg))
 
 _ = cc_j(pose); _ = sc_j(pose); _ = knn_c_j(corner_stack[:, :3]); _ = knn_s_j(surf_stack[:, :3]); _ = nn1_j(surf_stack[:, :3]); _ = ins_j(corner_stack, cs_mask)
 
@@ -68,5 +68,5 @@ timeit("knn surf (8192x65536)", lambda: knn_s_j(surf_stack[:, :3]))
 timeit("corner corr (knn+fit)", lambda: cc_j(pose))
 timeit("surf corr (knn+fit)", lambda: sc_j(pose))
 timeit("nn1 surf (dedup gate)", lambda: nn1_j(surf_stack[:, :3]))
-timeit("scatter insert corner", lambda: ins_j(corner_stack, cs_mask))
+timeit("scatter insert pair", lambda: ins_j(corner_stack, cs_mask))
 timeit("full mapping_step", lambda: step_j(state, corner_in, c_in_mask, surf_in, s_in_mask, pose), n_=10)

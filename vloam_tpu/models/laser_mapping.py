@@ -36,9 +36,13 @@ from vloam_tpu.ops.voxel import voxel_downsample
 
 
 class MapState(NamedTuple):
-    corner_pts: jax.Array    # (n_cubes, corner_cap, 4)
+    # Corner and surf cubes live in ONE buffer: rows [0, corner_cap) of each
+    # slot are its corner points, rows [corner_cap, corner_cap + surf_cap)
+    # its surf points.  TPU scatters cost ~0.5 ms of FIXED overhead per op
+    # regardless of row count, so the per-frame insert does ONE sort + ONE
+    # scatter + ONE count pass for both feature types instead of two of each.
+    cube_pts: jax.Array      # (n_cubes, corner_cap + surf_cap, 4)
     corner_cnt: jax.Array    # (n_cubes,) int32
-    surf_pts: jax.Array      # (n_cubes, surf_cap, 4)
     surf_cnt: jax.Array      # (n_cubes,)
     cube_coord: jax.Array    # (n_cubes, 3) int32 — world cube coord stored in each slot
     pose_map: jax.Array      # (7,) world_T_curr after mapping
@@ -68,9 +72,8 @@ def init_map_state(cfg: VloamConfig, n_shards: int = 1) -> MapState:
     nc = n_cubes(cfg)
     nc = -(-nc // n_shards) * n_shards
     return MapState(
-        corner_pts=jnp.zeros((nc, mc.corner_cube_cap, 4), jnp.float32),
+        cube_pts=jnp.zeros((nc, mc.corner_cube_cap + mc.surf_cube_cap, 4), jnp.float32),
         corner_cnt=jnp.zeros((nc,), jnp.int32),
-        surf_pts=jnp.zeros((nc, mc.surf_cube_cap, 4), jnp.float32),
         surf_cnt=jnp.zeros((nc,), jnp.int32),
         cube_coord=jnp.full((nc, 3), jnp.iinfo(jnp.int32).min, jnp.int32),
         pose_map=geo.pose_identity(),
@@ -116,16 +119,15 @@ def _gather_submap(state: MapState, coords: jax.Array, cfg: VloamConfig):
     axis ~5-20x (laser_mapping.cpp:479-485 concatenates the same way)."""
     from vloam_tpu.ops.knn import compact_rows
 
+    mc = cfg.mapping
     slots = coord_to_slot(coords, cfg)                      # (75,)
     fresh = jnp.all(jnp.take(state.cube_coord, slots, axis=0) == coords, axis=-1)  # (75,)
 
-    def grab(pts, cnt, out_cap):
-        sub = jnp.take(pts, slots, axis=0)                  # (75, cap, 4)
-        counts = jnp.where(fresh, jnp.take(cnt, slots), 0)
-        return compact_rows(sub, counts, out_cap)
-
-    c_pts, c_mask = grab(state.corner_pts, state.corner_cnt, cfg.mapping.submap_corner_cap)
-    s_pts, s_mask = grab(state.surf_pts, state.surf_cnt, cfg.mapping.submap_surf_cap)
+    sub = jnp.take(state.cube_pts, slots, axis=0)           # (75, capT, 4)
+    c_counts = jnp.where(fresh, jnp.take(state.corner_cnt, slots), 0)
+    s_counts = jnp.where(fresh, jnp.take(state.surf_cnt, slots), 0)
+    c_pts, c_mask = compact_rows(sub[:, :mc.corner_cube_cap], c_counts, mc.submap_corner_cap)
+    s_pts, s_mask = compact_rows(sub[:, mc.corner_cube_cap:], s_counts, mc.submap_surf_cap)
     return (c_pts, c_mask), (s_pts, s_mask), slots, fresh
 
 
@@ -183,81 +185,109 @@ def _surf_correspondences(pose, stack, stack_mask, cand, cand_mask, cfg,
     return fit_surf_planes(stack, stack_mask, nbr, d2, cfg) + (d2[:, 0],)
 
 
-def _scatter_insert(pts_w, mask, state_pts, state_cnt, cube_coord, cap, cfg, slot_offset=0):
-    """Append world-frame points into their cube slots (block-cyclic).
+def _scatter_insert_pair(
+    corner_w, c_mask, surf_w, s_mask,
+    cube_pts, corner_cnt, surf_cnt, cube_coord, cfg, slot_offset=0,
+):
+    """Append BOTH feature types' world-frame points into their cube slots
+    (block-cyclic) with one sort, one point scatter, and one count pass —
+    TPU scatters/sorts carry ~0.5 ms fixed overhead each, so op count, not
+    row count, is what this path pays for.
 
     Stale slots (holding an evicted world cube) are reset before appending.
     ``slot_offset`` shifts global slot ids into this shard's local range
     (points outside [0, nc) are dropped — they belong to another shard).
-    Returns (pts, cnt, cube_coord, touched_slot_mask).
+    Returns (cube_pts, corner_cnt, surf_cnt, cube_coord, accepted_corner,
+    accepted_surf).
     """
-    nc = state_pts.shape[0]
-    coord = cube_coord_of(pts_w[:, :3], cfg.mapping.cube_size)
+    mc = cfg.mapping
+    nc = cube_pts.shape[0]
+    capc, capT = mc.corner_cube_cap, mc.corner_cube_cap + mc.surf_cube_cap
+    n_c, n_s = corner_w.shape[0], surf_w.shape[0]
+    n = n_c + n_s
+
+    pts = jnp.concatenate([corner_w, surf_w])
+    mask = jnp.concatenate([c_mask, s_mask])
+    is_surf = jnp.arange(n, dtype=jnp.int32) >= n_c
+    coord = cube_coord_of(pts[:, :3], mc.cube_size)
     slot = coord_to_slot(coord, cfg) - slot_offset
     mask = mask & (slot >= 0) & (slot < nc)
     slot = jnp.where(mask, slot, nc)                         # invalid -> scrap slot
 
-    # Reset stale slots touched by this insertion.
+    # Reset stale slots touched by this insertion (single pass, both types).
     stored = jnp.take(cube_coord, jnp.minimum(slot, nc - 1), axis=0)
     stale = jnp.any(stored != coord, axis=-1) & mask
     touched = jnp.zeros((nc + 1,), bool).at[slot].set(mask, mode="drop")[:nc]
-    cnt = jnp.where(
-        jnp.zeros((nc + 1,), bool).at[slot].set(stale, mode="drop")[:nc], 0, state_cnt
-    )
+    stale_slot = jnp.zeros((nc + 1,), bool).at[slot].set(stale, mode="drop")[:nc]
+    corner_cnt = jnp.where(stale_slot, 0, corner_cnt)
+    surf_cnt = jnp.where(stale_slot, 0, surf_cnt)
     new_coord = jnp.full((nc + 1, 3), jnp.iinfo(jnp.int32).min, jnp.int32).at[slot].set(
         coord, mode="drop"
     )[:nc]
     cube_coord = jnp.where(touched[:, None], new_coord, cube_coord)
 
-    # Rank of each point within its slot (stable sort by slot).
-    n = pts_w.shape[0]
-    order = jnp.argsort(slot, stable=True)
-    slot_s = jnp.take(slot, order)
-    pts_s = jnp.take(pts_w, order, axis=0)
+    # Rank within (slot, type) segments via ONE stable sort of the combined
+    # key; rejects (key = 2 nc) sort to the tail.
+    key = jnp.where(mask, slot * 2 + is_surf, 2 * nc)
+    order = jnp.argsort(key, stable=True)
+    key_s = jnp.take(key, order)
+    pts_s = jnp.take(pts, order, axis=0)
     idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), slot_s[1:] != slot_s[:-1]])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     rank = idx - seg_start
 
-    dest_row = jnp.take(cnt, jnp.minimum(slot_s, nc - 1)) + rank
-    ok = (slot_s < nc) & (dest_row < cap)
+    slot_s = jnp.minimum(key_s >> 1, nc - 1)
+    surf_s = key_s & 1
+    base = jnp.where(surf_s == 1, capc + jnp.take(surf_cnt, slot_s), jnp.take(corner_cnt, slot_s))
+    dest_row = base + rank
+    ok = (key_s < 2 * nc) & (dest_row < jnp.where(surf_s == 1, capT, capc))
     # Rejected points scatter to distinct out-of-bounds rows (mode="drop"
     # discards them); scattering straight into the state buffer — instead of
-    # a scrap-row concatenate — avoids two full copies of the ~quarter-GB
-    # cube array and lets XLA update a donated buffer in place.
-    flat = jnp.where(ok, slot_s * cap + dest_row, nc * cap + idx)
-    pts_flat = state_pts.reshape(-1, 4).at[flat].set(
+    # a scrap-row concatenate — avoids two full copies of the ~half-GB cube
+    # array and lets XLA update a donated buffer in place.
+    flat = jnp.where(ok, slot_s * capT + dest_row, nc * capT + idx)
+    pts_flat = cube_pts.reshape(-1, 4).at[flat].set(
         pts_s, mode="drop", unique_indices=True
     )
     added = jax.ops.segment_sum(
-        ok.astype(jnp.int32), jnp.minimum(slot_s, nc), num_segments=nc + 1,
+        ok.astype(jnp.int32), jnp.minimum(key_s, 2 * nc), num_segments=2 * nc + 1,
         indices_are_sorted=True,
-    )[:nc]
+    )[:2 * nc].reshape(nc, 2)
     accepted = jnp.zeros((n,), bool).at[order].set(ok)     # per-INPUT-point landed flag
-    return pts_flat.reshape(nc, cap, 4), cnt + added, cube_coord, touched, accepted
+    return (
+        pts_flat.reshape(nc, capT, 4),
+        corner_cnt + added[:, 0], surf_cnt + added[:, 1],
+        cube_coord, accepted[:n_c], accepted[n_c:],
+    )
 
 
-def _refilter_cubes(pts, cnt, slots, leaf, cap, cfg):
-    """Re-voxel-downsample the submap-window cubes (laser_mapping.cpp:793-808).
+def _refilter_cubes(cube_pts, corner_cnt, surf_cnt, slots, cfg):
+    """Re-voxel-downsample the submap-window cubes (laser_mapping.cpp:793-808),
+    both feature types in one gather + one scatter-back.
 
     Out-of-range slot ids (another shard's cubes, in the distributed path)
     are gathered clipped and dropped on scatter-back."""
-    nc = pts.shape[0]
+    mc = cfg.mapping
+    nc = cube_pts.shape[0]
+    capc, caps = mc.corner_cube_cap, mc.surf_cube_cap
     slots_c = jnp.clip(slots, 0, nc - 1)
-    sub = jnp.take(pts, slots_c, axis=0)                     # (75, cap, 4)
-    col = jnp.arange(cap)[None, :]
-    m = col < jnp.take(cnt, slots_c)[:, None]
+    sub = jnp.take(cube_pts, slots_c, axis=0)                # (75, capT, 4)
 
-    def one(p, mm):
-        return voxel_downsample(p, mm, leaf, cap, max_grid=256)
+    def part(off, cap, cnt, leaf):
+        p = sub[:, off:off + cap]
+        m = jnp.arange(cap)[None, :] < jnp.take(cnt, slots_c)[:, None]
+        newp, newm = jax.vmap(lambda pp, mm: voxel_downsample(pp, mm, leaf, cap, max_grid=256))(p, m)
+        return jnp.where(newm[..., None], newp, 0.0), jnp.sum(newm, axis=1).astype(jnp.int32)
 
-    newp, newm = jax.vmap(one)(sub, m)
-    newc = jnp.sum(newm, axis=1).astype(jnp.int32)
+    newc, ncnt = part(0, capc, corner_cnt, mc.line_resolution)
+    news, scnt = part(capc, caps, surf_cnt, mc.plane_resolution)
     # scatter back (slots unique inside the window; duplicates impossible mod-grid
     # because the window is smaller than the grid in every axis)
-    pts = pts.at[slots].set(jnp.where(newm[..., None], newp, 0.0), mode="drop")
-    cnt = cnt.at[slots].set(newc, mode="drop")
-    return pts, cnt
+    cube_pts = cube_pts.at[slots].set(jnp.concatenate([newc, news], axis=1), mode="drop")
+    corner_cnt = corner_cnt.at[slots].set(ncnt, mode="drop")
+    surf_cnt = surf_cnt.at[slots].set(scnt, mode="drop")
+    return cube_pts, corner_cnt, surf_cnt
 
 
 def mapping_step(
@@ -398,13 +428,9 @@ def mapping_step(
         # saves a full (M, N) distance pass per feature type.
         ins_c_mask = cs_mask & (nn_c > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
         ins_s_mask = ss_mask & (nn_s > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
-    c_arr, c_cnt, cube_coord, _, acc_c = _scatter_insert(
-        corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
-        mc.corner_cube_cap, cfg,
-    )
-    s_arr, s_cnt, cube_coord, _, acc_s = _scatter_insert(
-        surf_w, ins_s_mask, state.surf_pts, state.surf_cnt, cube_coord,
-        mc.surf_cube_cap, cfg,
+    cube_arr, c_cnt, s_cnt, cube_coord, acc_c, acc_s = _scatter_insert_pair(
+        corner_w, ins_c_mask, surf_w, ins_s_mask,
+        state.cube_pts, state.corner_cnt, state.surf_cnt, state.cube_coord, cfg,
     )
 
     if mc.insert_dedup:
@@ -430,15 +456,12 @@ def mapping_step(
         sub_center = center
     else:
         # Reference-exact path: re-voxelise the submap window each frame.
-        c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, slots, mc.line_resolution,
-                                       mc.corner_cube_cap, cfg)
-        s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, slots, mc.plane_resolution,
-                                       mc.surf_cube_cap, cfg)
+        cube_arr, c_cnt, s_cnt = _refilter_cubes(cube_arr, c_cnt, s_cnt, slots, cfg)
         sub_c, sub_c_n, sub_s, sub_s_n = state.sub_c, state.sub_c_n, state.sub_s, state.sub_s_n
         sub_center = state.sub_center
 
     return MapState(
-        corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,
+        cube_pts=cube_arr, corner_cnt=c_cnt, surf_cnt=s_cnt,
         cube_coord=cube_coord, pose_map=pose_w, wmap_wodom=wmap_wodom,
         initialized=jnp.array(True),
         sub_c=sub_c, sub_c_n=sub_c_n, sub_s=sub_s, sub_s_n=sub_s_n,

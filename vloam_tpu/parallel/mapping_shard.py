@@ -37,7 +37,7 @@ from vloam_tpu.config import VloamConfig
 from vloam_tpu.models.laser_mapping import (
     MapState,
     _refilter_cubes,
-    _scatter_insert,
+    _scatter_insert_pair,
     _submap_coords,
     coord_to_slot,
     cube_coord_of,
@@ -58,7 +58,7 @@ def _local_window(state: MapState, coords, cfg, axis: str):
     Returns ((corner pts, mask), (surf pts, mask), local_slots) where
     local_slots holds nc_local (out of range -> dropped) for non-owned cubes.
     """
-    nc_local = state.corner_pts.shape[0]      # inside shard_map: the local block
+    nc_local = state.cube_pts.shape[0]        # inside shard_map: the local block
     dev = jax.lax.axis_index(axis)
     offset = dev * nc_local
     slots = coord_to_slot(coords, cfg) - offset            # (75,)
@@ -68,14 +68,13 @@ def _local_window(state: MapState, coords, cfg, axis: str):
 
     from vloam_tpu.ops.knn import compact_rows
 
-    def grab(pts, cnt, out_cap):
-        sub = jnp.take(pts, slots_c, axis=0)
-        counts = jnp.where(fresh, jnp.take(cnt, slots_c), 0)
-        return compact_rows(sub, counts, out_cap)
-
+    mc = cfg.mapping
+    sub = jnp.take(state.cube_pts, slots_c, axis=0)        # (75, capT, 4)
+    c_counts = jnp.where(fresh, jnp.take(state.corner_cnt, slots_c), 0)
+    s_counts = jnp.where(fresh, jnp.take(state.surf_cnt, slots_c), 0)
     # local shard holds ~1/S of the window points; same dense caps are safe
-    c = grab(state.corner_pts, state.corner_cnt, cfg.mapping.submap_corner_cap)
-    s = grab(state.surf_pts, state.surf_cnt, cfg.mapping.submap_surf_cap)
+    c = compact_rows(sub[:, :mc.corner_cube_cap], c_counts, mc.submap_corner_cap)
+    s = compact_rows(sub[:, mc.corner_cube_cap:], s_counts, mc.submap_surf_cap)
     return c, s, jnp.where(own, slots, nc_local)
 
 
@@ -152,7 +151,7 @@ def sharded_mapping_step(
     wmap_wodom = geo.pose_compose(pose_w, geo.pose_inverse(pose_wodom))
 
     # Shard-local insertion (+ global density gate / re-voxelisation).
-    nc_local = state.corner_pts.shape[0]
+    nc_local = state.cube_pts.shape[0]
     offset = jax.lax.axis_index(axis) * nc_local
     corner_w = corner_stack.at[:, :3].set(geo.pose_apply(pose_w, corner_stack[:, :3]))
     surf_w = surf_stack.at[:, :3].set(geo.pose_apply(pose_w, surf_stack[:, :3]))
@@ -163,22 +162,16 @@ def sharded_mapping_step(
         _, d2s = _global_knn(surf_w[:, :3], s_pts, s_mask, 1, axis)
         ins_c_mask = cs_mask & (d2c[:, 0] > (mc.insert_dedup_factor * mc.line_resolution) ** 2)
         ins_s_mask = ss_mask & (d2s[:, 0] > (mc.insert_dedup_factor * mc.plane_resolution) ** 2)
-    c_arr, c_cnt, cube_coord, _, _ = _scatter_insert(
-        corner_w, ins_c_mask, state.corner_pts, state.corner_cnt, state.cube_coord,
-        mc.corner_cube_cap, cfg, slot_offset=offset,
-    )
-    s_arr, s_cnt, cube_coord, _, _ = _scatter_insert(
-        surf_w, ins_s_mask, state.surf_pts, state.surf_cnt, cube_coord,
-        mc.surf_cube_cap, cfg, slot_offset=offset,
+    cube_arr, c_cnt, s_cnt, cube_coord, _, _ = _scatter_insert_pair(
+        corner_w, ins_c_mask, surf_w, ins_s_mask,
+        state.cube_pts, state.corner_cnt, state.surf_cnt, state.cube_coord,
+        cfg, slot_offset=offset,
     )
     if not mc.insert_dedup:
-        c_arr, c_cnt = _refilter_cubes(c_arr, c_cnt, local_slots, mc.line_resolution,
-                                       mc.corner_cube_cap, cfg)
-        s_arr, s_cnt = _refilter_cubes(s_arr, s_cnt, local_slots, mc.plane_resolution,
-                                       mc.surf_cube_cap, cfg)
+        cube_arr, c_cnt, s_cnt = _refilter_cubes(cube_arr, c_cnt, s_cnt, local_slots, cfg)
 
     return MapState(
-        corner_pts=c_arr, corner_cnt=c_cnt, surf_pts=s_arr, surf_cnt=s_cnt,
+        cube_pts=cube_arr, corner_cnt=c_cnt, surf_cnt=s_cnt,
         cube_coord=cube_coord, pose_map=pose_w, wmap_wodom=wmap_wodom,
         initialized=jnp.array(True),
         # the compacted-submap cache is a single-device fast path; sharded
@@ -194,7 +187,7 @@ def make_sharded_step(cfg: VloamConfig, mesh: Mesh, axis: str = "map"):
     cube = P(axis)
     rep = P()
     state_specs = MapState(
-        corner_pts=cube, corner_cnt=cube, surf_pts=cube, surf_cnt=cube,
+        cube_pts=cube, corner_cnt=cube, surf_cnt=cube,
         cube_coord=cube, pose_map=rep, wmap_wodom=rep, initialized=rep,
         sub_c=rep, sub_c_n=rep, sub_s=rep, sub_s_n=rep, sub_center=rep,
     )

@@ -14,7 +14,7 @@ def map_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-_CUBE_FIELDS = ("corner_pts", "corner_cnt", "surf_pts", "surf_cnt", "cube_coord")
+_CUBE_FIELDS = ("cube_pts", "corner_cnt", "surf_cnt", "cube_coord")
 
 
 def shard_map_state(state, mesh: Mesh, axis: str = "map"):
