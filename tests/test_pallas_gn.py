@@ -113,3 +113,64 @@ def test_unaligned_sizes_pad(rng):
     px = _xla_solve(geo.pose_identity(), edge, plane)
     pp = _pallas_solve(geo.pose_identity(), edge, plane)
     np.testing.assert_allclose(pp[4:], px[4:], atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# VO solver kernel (solve_pose_gn_vo)
+# ---------------------------------------------------------------------------
+
+def _vo_problem(rng, m=512, depth_frac=0.6, noise=0.001):
+    """Random two-view problem: 3D points observed by two cameras related by
+    a known small motion; some matches carry depth (3D-2D), the rest are
+    epipolar-only."""
+    aa = rng.normal(0, 0.02, 3)
+    t_true = np.array([0.1, -0.05, 0.8]) + rng.normal(0, 0.05, 3)
+    pose_true = geo.pose_from_qt(
+        geo.angle_axis_to_quat(jnp.array(aa, jnp.float32)), jnp.array(t_true, jnp.float32)
+    )
+    X0 = np.stack([
+        rng.uniform(-10, 10, m), rng.uniform(-3, 3, m), rng.uniform(5, 40, m)
+    ], -1).astype(np.float32)
+    X1 = np.asarray(geo.pose_apply(pose_true, jnp.array(X0)))
+    xb0 = X0[:, :2] / X0[:, 2:3] + rng.normal(0, noise, (m, 2))
+    xb1 = X1[:, :2] / X1[:, 2:3] + rng.normal(0, noise, (m, 2))
+    hd = rng.random(m) < depth_frac
+    nd = ~hd
+    return (pose_true, jnp.array(X0), jnp.array(xb0.astype(np.float32)),
+            jnp.array(xb1.astype(np.float32)), jnp.array(hd), jnp.array(nd))
+
+
+def test_vo_matches_xla_path(rng):
+    from vloam_tpu.ops import vo_factors
+    from vloam_tpu.ops.pallas_gn import solve_pose_gn_vo
+
+    for _ in range(2):
+        pose_true, X0, xb0, xb1, hd, nd = _vo_problem(rng)
+
+        def residuals(p):
+            return (
+                (vo_factors.reproj_32_residual(p, X0, xb1), hd),
+                (vo_factors.epipolar_22_residual(p, xb0, xb1), nd),
+            )
+
+        px = np.asarray(solve_pose_gn(residuals, geo.pose_identity(), ITERS, HUBER, LM))
+        with pltpu.force_tpu_interpret_mode():
+            pp = np.asarray(solve_pose_gn_vo(
+                geo.pose_identity(), X0, xb0, xb1, hd, nd, ITERS, HUBER, LM,
+                _force_tpu_path=True))
+        np.testing.assert_allclose(pp[4:], px[4:], atol=5e-3)
+        qdot = abs(float(np.sum(pp[:4] * px[:4])))
+        assert qdot > 1.0 - 1e-5, (pp, px)
+
+
+def test_vo_converges_to_truth(rng):
+    from vloam_tpu.ops.pallas_gn import solve_pose_gn_vo
+
+    pose_true, X0, xb0, xb1, hd, nd = _vo_problem(rng, noise=0.0002)
+    with pltpu.force_tpu_interpret_mode():
+        pp = np.asarray(solve_pose_gn_vo(
+            geo.pose_identity(), X0, xb0, xb1, hd, nd, 10, HUBER, LM,
+            _force_tpu_path=True))
+    np.testing.assert_allclose(pp[4:], np.asarray(pose_true)[4:], atol=0.03)
+    qdot = abs(float(np.sum(pp[:4] * np.asarray(pose_true)[:4])))
+    assert qdot > 1.0 - 1e-4

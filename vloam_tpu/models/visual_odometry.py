@@ -193,13 +193,14 @@ def vo_step(
 
     pose0 = geo.pose_identity() if (lo_prior is None or vc.reset_vo_to_identity) else lo_prior
 
-    def residuals(p):
-        return (
-            (vo_factors.reproj_32_residual(p, X0, xb1), has_depth),
-            (vo_factors.epipolar_22_residual(p, xb0, xb1), no_depth),
-        )
+    # All inner GN iterations fuse into ONE Pallas launch on TPU
+    # (solve_pose_gn is the CPU fallback inside).
+    from vloam_tpu.ops.pallas_gn import solve_pose_gn_vo
 
-    solved = solve_pose_gn(residuals, pose0, vc.max_iters, vc.huber_delta, vc.lm_lambda)
+    solved = solve_pose_gn_vo(
+        pose0, X0, xb0, xb1, has_depth, no_depth,
+        vc.max_iters, vc.huber_delta, vc.lm_lambda,
+    )
     enough = jnp.sum(track_ok) >= 10
     pose = jnp.where((state.count > 0) & enough, solved, pose0)
 

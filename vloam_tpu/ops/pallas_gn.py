@@ -205,6 +205,133 @@ def _gn_kernel(iters: int, huber_delta: float, lm_lambda: float,
     out_ref[0, :] = jnp.stack([q[0], q[1], q[2], q[3], t[0], t[1], t[2], t[0] * 0])
 
 
+def _vo_kernel(iters: int, huber_delta: float, lm_lambda: float,
+               pose_ref, in_ref, out_ref):
+    """Full inner GN loop of the VO solve (visual_odometry.cpp:304-482) in
+    one launch: per match EITHER the 3D-2D reprojection residual
+    (ceres_cost_function.h:58-100, when the previous pixel has lidar depth)
+    OR the 2D-2D epipolar residual (:151-189) — complementary masks."""
+    q = (pose_ref[0], pose_ref[1], pose_ref[2], pose_ref[3])
+    t = (pose_ref[4], pose_ref[5], pose_ref[6])
+
+    def row(i):
+        return in_ref[8 * i:8 * (i + 1), :]
+
+    X0 = (row(0), row(1), row(2))
+    xb0 = (row(3), row(4))
+    xb1 = (row(5), row(6))
+    hd, nd = row(7), row(8)
+    one = jnp.ones_like(hd)
+    X0b = (xb0[0], xb0[1], one)
+    X1b = (xb1[0], xb1[1], one)
+
+    delta2 = jnp.float32(huber_delta * huber_delta)
+
+    def hub(sq, valid):
+        w2 = valid * jnp.where(sq <= delta2, 1.0,
+                               huber_delta * jax.lax.rsqrt(jnp.maximum(sq, 1e-20)))
+        return jnp.sqrt(w2)
+
+    for _ in range(iters):
+        R = _rot_rows(q)
+
+        def rot(p):
+            return tuple(R[i][0] * p[0] + R[i][1] * p[1] + R[i][2] * p[2]
+                         for i in range(3))
+
+        # ---- 3D-2D reprojection: r = [Yx - Yz xb1, Yy - Yz yb1] ----------
+        u = rot(X0)
+        Y = tuple(u[i] + t[i] for i in range(3))
+        r = (Y[0] - Y[2] * xb1[0], Y[1] - Y[2] * xb1[1])
+        # J_Y rotation col m = e_m x u; dr/dY rows (1,0,-xb), (0,1,-yb)
+        cols = [
+            (-u[1] * xb1[0], -u[2] - u[1] * xb1[1]),
+            (u[2] + u[0] * xb1[0], u[0] * xb1[1]),
+            (-u[1], u[0]),
+            (one, jnp.zeros_like(one)),
+            (jnp.zeros_like(one), one),
+            (-xb1[0], -xb1[1]),
+        ]
+        sw = hub(r[0] * r[0] + r[1] * r[1], hd)
+        jtj_a, jtr_a = _accumulate(cols, r, sw)
+
+        # ---- 2D-2D epipolar: r = X1b . (t x (R X0b)) ---------------------
+        v = rot(X0b)
+        c = _cross(v, X1b)                       # = v x X1b; r = t . (v x X1b)
+        r1 = t[0] * c[0] + t[1] * c[1] + t[2] * c[2]
+        tv = t[0] * v[0] + t[1] * v[1] + t[2] * v[2]
+        xv = _dot3(X1b, v)
+        cols = [
+            (X1b[0] * tv - t[0] * xv,),
+            (X1b[1] * tv - t[1] * xv,),
+            (X1b[2] * tv - t[2] * xv,),
+            (c[0],), (c[1],), (c[2],),
+        ]
+        sw = hub(r1 * r1, nd)
+        jtj_b, jtr_b = _accumulate(cols, (r1,), sw)
+
+        A = [[jtj_a[i][j] + jtj_b[i][j] for j in range(6)] for i in range(6)]
+        b = [-(jtr_a[i] + jtr_b[i]) for i in range(6)]
+        for i in range(6):
+            A[i][i] = A[i][i] + lm_lambda * A[i][i] + 1e-10
+        dx = _chol_solve6(A, b)
+        q = _quat_update(q, dx[:3])
+        t = (t[0] + dx[3], t[1] + dx[4], t[2] + dx[5])
+
+    out_ref[0, :] = jnp.stack([q[0], q[1], q[2], q[3], t[0], t[1], t[2], t[0] * 0])
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "huber_delta", "lm_lambda"))
+def _vo_call(pose8, packed, iters, huber_delta, lm_lambda):
+    kernel = functools.partial(_vo_kernel, iters, huber_delta, lm_lambda)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(packed.shape, lambda i, p: (0, 0))],
+            out_specs=pl.BlockSpec((1, 8), lambda i, p: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+    )(pose8, packed)
+    return out[0, :7]
+
+
+def solve_pose_gn_vo(
+    pose0: jax.Array,        # (7,)
+    X0: jax.Array,           # (M, 3) unprojected previous-frame points
+    xb0: jax.Array,          # (M, 2) previous normalised rays
+    xb1: jax.Array,          # (M, 2) current normalised rays
+    has_depth: jax.Array,    # (M,) -> 3D-2D residual
+    no_depth: jax.Array,     # (M,) -> 2D-2D residual
+    iters: int,
+    huber_delta: float,
+    lm_lambda: float,
+    _force_tpu_path: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for the XLA VO GN solve (10 jacfwd iterations of
+    ~30 small ops each); falls back to solve_pose_gn off-TPU."""
+    if jax.default_backend() in ("cpu", "gpu") and not _force_tpu_path:
+        from vloam_tpu.ops import vo_factors
+        from vloam_tpu.ops.gauss_newton import solve_pose_gn
+
+        def residuals(p):
+            return (
+                (vo_factors.reproj_32_residual(p, X0, xb1), has_depth),
+                (vo_factors.epipolar_22_residual(p, xb0, xb1), no_depth),
+            )
+
+        return solve_pose_gn(residuals, pose0, iters, huber_delta, lm_lambda)
+
+    m = -(-X0.shape[0] // 1024) * 1024
+    packed = _pack(
+        [X0[:, 0], X0[:, 1], X0[:, 2], xb0[:, 0], xb0[:, 1], xb1[:, 0], xb1[:, 1],
+         has_depth.astype(jnp.float32), no_depth.astype(jnp.float32)], m,
+    )
+    pose8 = jnp.concatenate([pose0.astype(jnp.float32), jnp.zeros((1,), jnp.float32)])
+    return _vo_call(pose8, packed, iters, float(huber_delta), float(lm_lambda))
+
+
 def _pack(rows, b_pad):
     """Stack component rows (B,) -> one (len(rows)*8, b_pad//8) array."""
     out = []
