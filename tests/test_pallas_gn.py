@@ -3,6 +3,11 @@
 Runs the kernel in pallas interpret mode (CPU).  Same update rule, damping,
 and Huber weights — poses must agree to f32 solver tolerance on realistic
 registration problems.
+
+Interpret mode does NOT exercise Mosaic-specific constraints (f32 scalar
+prefetch in SMEM, dynamic pltpu.roll lane shifts, whole-array VMEM blocks);
+the real lowering is validated on hardware by ``tools/smoke_tpu_kernels.py``
+(run it on any Pallas/TPU toolchain bump).
 """
 
 import numpy as np

@@ -378,10 +378,13 @@ def mapping_step(
             # (corner stack vs corner submap, surf stack vs surf submap)
             qc = geo.pose_apply(pose, corner_stack[:, :3])
             qs = geo.pose_apply(pose, surf_stack[:, :3])
-            # Radius-clamped search: every consumer gates at
-            # neighbor_dist_sq (fits) or the smaller insert-dedup radius, so
-            # AABB-pruning tiles beyond sqrt(neighbor_dist_sq) is exact.
-            r_prune = float(mc.neighbor_dist_sq) ** 0.5 * 1.001
+            # Radius-clamped search: pruning is exact only if every consumer
+            # gates correspondences at d2 <= r_prune^2.  The fits gate at
+            # neighbor_dist_sq AND the insert-dedup gate at
+            # (insert_dedup_factor * resolution)^2 both read these distances,
+            # so r_prune covers the max of the two radii.
+            r_dedup = mc.insert_dedup_factor * max(mc.line_resolution, mc.plane_resolution)
+            r_prune = max(float(mc.neighbor_dist_sq) ** 0.5, r_dedup) * 1.001
             (d2c, idxc), (d2s, idxs) = knn_lanemin_pair(
                 qc, c_pts[:, :3], c_mask, mc.n_neighbors,
                 qs, s_pts[:, :3], s_mask, mc.n_neighbors,

@@ -134,6 +134,15 @@ def lo_step(
         jnp.where(state.last_surf_mask, jnp.arange(1, n_s + 1, dtype=jnp.int32), 0)
     )
 
+    # Intra-scan time fraction per feature point: the w channel carries
+    # ring + scan_period * rel_time (scan_registration.cpp:294-297), so
+    # s = frac(w) / scan_period — the reference's interpolation ratio
+    # (laser_odometry.cpp:156-160).  Only consumed when odom.distortion.
+    if oc.distortion:
+        sp = cfg.scan.scan_period
+        s_e = jnp.clip((feats.sharp[:, 3] - jnp.floor(feats.sharp[:, 3])) / sp, 0.0, 1.0)
+        s_s = jnp.clip((feats.flat[:, 3] - jnp.floor(feats.flat[:, 3])) / sp, 0.0, 1.0)
+
     def solve(pose_init):
         from vloam_tpu.ops.pallas_knn import knn_lanemin_pair
 
@@ -142,8 +151,14 @@ def lo_step(
             # ONE fused kernel launch + epilogue for both association
             # problems (sharp vs last less-sharp AND flat vs last less-flat);
             # the CPU fallback inside is two plain knn calls.
-            q_e = geo.pose_apply(pose, feats.sharp[:, :3])
-            q_s = geo.pose_apply(pose, feats.flat[:, :3])
+            if oc.distortion:
+                # TransformToStart with the per-point slerp fraction
+                # (laser_odometry.cpp:285,390).
+                q_e = lidar_factors.pose_apply_interp(pose, feats.sharp[:, :3], s_e)
+                q_s = lidar_factors.pose_apply_interp(pose, feats.flat[:, :3], s_s)
+            else:
+                q_e = geo.pose_apply(pose, feats.sharp[:, :3])
+                q_s = geo.pose_apply(pose, feats.flat[:, :3])
             (d2e, idxe), (d2s, idxs) = knn_lanemin_pair(
                 q_e, state.last_corner[:, :3], state.last_corner_mask, oc.assoc_k,
                 q_s, state.last_surf[:, :3], state.last_surf_mask, oc.assoc_k,
@@ -156,12 +171,29 @@ def lo_step(
                 d2s, idxs, feats.flat, feats.flat_mask, state.last_surf, cfg
             )
 
-            # All inner iterations fuse into ONE Pallas launch on TPU
-            # (solve_pose_gn is the CPU fallback inside).
-            pose = solve_pose_gn_lidar(
-                pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
-                oc.inner_iters, oc.huber_delta, oc.lm_lambda,
-            )
+            if oc.distortion:
+                # Per-point slerp inside the residuals (the factors' s
+                # parameter, lidarFactor.hpp:30-44).  Not the KITTI hot path
+                # (DISTORTION=false there), so the XLA jacfwd solver is fine;
+                # the fused Pallas kernel stays specialized to s = 1.
+                from vloam_tpu.ops.gauss_newton import solve_pose_gn
+
+                def residuals(pp, p_e=p_e, a_e=a_e, b_e=b_e, v_e=v_e,
+                              p_s=p_s, n_s=n_s, d_s=d_s, v_s=v_s):
+                    r_e = lidar_factors.edge_residual_interp(pp, p_e, a_e, b_e, s_e)
+                    r_s = lidar_factors.plane_residual_interp(pp, p_s, n_s, d_s, s_s)
+                    return ((r_e, v_e), (r_s, v_s))
+
+                pose = solve_pose_gn(
+                    residuals, pose, oc.inner_iters, oc.huber_delta, oc.lm_lambda
+                )
+            else:
+                # All inner iterations fuse into ONE Pallas launch on TPU
+                # (solve_pose_gn is the CPU fallback inside).
+                pose = solve_pose_gn_lidar(
+                    pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
+                    oc.inner_iters, oc.huber_delta, oc.lm_lambda,
+                )
         counts = jnp.stack(
             [jnp.sum(v_e, dtype=jnp.int32), jnp.sum(v_s, dtype=jnp.int32)]
         )
@@ -177,10 +209,30 @@ def lo_step(
     pose_w = geo.pose_compose(state.pose_wodom, delta)
     pose_w = jnp.where(state.initialized, pose_w, state.pose_wodom)
 
+    if oc.distortion:
+        # Store the next frame's match targets rigid in their sweep-end
+        # anchor (TransformToEnd; see lidar_factors.transform_to_end).  The
+        # w channel keeps ring + time; consumers floor() it for the ring id.
+        sp = cfg.scan.scan_period
+        ls_s = jnp.clip(
+            (feats.less_sharp[:, 3] - jnp.floor(feats.less_sharp[:, 3])) / sp, 0.0, 1.0
+        )
+        lf_s = jnp.clip(
+            (feats.less_flat[:, 3] - jnp.floor(feats.less_flat[:, 3])) / sp, 0.0, 1.0
+        )
+        store_corner = feats.less_sharp.at[:, :3].set(
+            lidar_factors.transform_to_end(delta, feats.less_sharp[:, :3], ls_s)
+        )
+        store_surf = feats.less_flat.at[:, :3].set(
+            lidar_factors.transform_to_end(delta, feats.less_flat[:, :3], lf_s)
+        )
+    else:
+        store_corner, store_surf = feats.less_sharp, feats.less_flat
+
     new_state = LoState(
-        last_corner=feats.less_sharp,
+        last_corner=store_corner,
         last_corner_mask=feats.less_sharp_mask,
-        last_surf=feats.less_flat,
+        last_surf=store_surf,
         last_surf_mask=feats.less_flat_mask,
         pose_wodom=pose_w,
         last_delta=jnp.where(state.initialized, delta, state.last_delta),

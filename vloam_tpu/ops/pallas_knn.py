@@ -212,6 +212,19 @@ def knn_lanemin_pair(
     mb_n, nb = qb.shape[0], cb.shape[0]
     na_p, nb_p = -(-na // TN) * TN, -(-nb // TN) * TN
     fits = na_p + nb_p <= _LANES * (1 << _GBITS) and ka <= _LANES and kb <= _LANES
+    if not fits and jax.default_backend() not in ("cpu", "gpu"):
+        # Silent fallback here would quietly cost ~10x on the hot path — e.g.
+        # raising the submap caps past the 9-bit group-id space (65536 padded
+        # candidates combined) drops the fused TPU kernel for the XLA sweep.
+        import warnings
+
+        warnings.warn(
+            f"knn_lanemin_pair: padded candidates {na_p}+{nb_p} exceed the "
+            f"{_LANES * (1 << _GBITS)} group-id space (or k > {_LANES}); "
+            "falling back to the XLA knn sweep (much slower on TPU). "
+            "Reduce submap/stack caps to restore the fused kernel.",
+            stacklevel=2,
+        )
     if (jax.default_backend() in ("cpu", "gpu") and not _force_tpu_path) or not fits:
         from vloam_tpu.ops.knn import knn
 
