@@ -45,9 +45,22 @@ class OdometryConfig:
 
     distance_sq_threshold: float = 25.0  # laser_odometry.h:94
     nearby_scan: float = 2.5             # laser_odometry.h:95
-    assoc_k: int = 8                     # k-NN pool the ring-constrained picks
-                                         # are resolved from (ours; the ref's
-                                         # kd-tree scans have no such bound)
+    assoc_k: int = 8                     # k-NN pool the ring-constrained EDGE
+                                         # picks are resolved from (ours; the
+                                         # ref's kd-tree scans have no such
+                                         # bound).  Oracle-measured pair
+                                         # recall vs laser_odometry.cpp:282-383
+                                         # at k=8: 0.993 (test_oracle_parity).
+    assoc_k_surf: int = 16               # plane triples need a deeper pool:
+                                         # the same-ring neighbours of a flat
+                                         # point crowd out the other-ring
+                                         # slot3 pick.  Oracle-measured triple
+                                         # recall: 0.84 @ k=8, 0.95 @ 16,
+                                         # 0.996 @ 32 (test_oracle_parity);
+                                         # fps 108.3 / 108.0 / 103.1.  Missing
+                                         # triples only thin an overdetermined
+                                         # fit (pose gap ~4 mm even @ k=8);
+                                         # 16 is the knee of that curve.
     outer_iters: int = 2                 # laser_odometry.cpp:224
     inner_iters: int = 4                 # ceres max_num_iterations (laser_odometry.cpp:503)
     huber_delta: float = 0.1             # HuberLoss(0.1) (laser_odometry.cpp:230)

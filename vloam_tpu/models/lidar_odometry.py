@@ -161,7 +161,7 @@ def lo_step(
                 q_s = geo.pose_apply(pose, feats.flat[:, :3])
             (d2e, idxe), (d2s, idxs) = knn_lanemin_pair(
                 q_e, state.last_corner[:, :3], state.last_corner_mask, oc.assoc_k,
-                q_s, state.last_surf[:, :3], state.last_surf_mask, oc.assoc_k,
+                q_s, state.last_surf[:, :3], state.last_surf_mask, oc.assoc_k_surf,
                 b_counts=(None, surf_n),
             )
             p_e, a_e, b_e, v_e = _edge_correspondences(
