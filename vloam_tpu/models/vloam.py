@@ -48,11 +48,11 @@ class VloamOutputs(NamedTuple):
                           # (the degradation signal of laser_odometry.cpp:489-496)
 
 
-def init_vloam_state(cfg: VloamConfig) -> VloamState:
+def init_vloam_state(cfg: VloamConfig, n_map_shards: int = 1) -> VloamState:
     return VloamState(
         vo=init_vo_state(cfg),
         lo=init_lo_state(cfg),
-        mp=init_map_state(cfg),
+        mp=init_map_state(cfg, n_shards=n_map_shards),
         world_VOT_base=geo.pose_identity(),
         cam0_curr_LOT_cam0_prev=geo.pose_identity(),
         cam0_init_T_cam0_start=geo.pose_identity(),
@@ -70,12 +70,16 @@ def vloam_step(
     pre_gridded: bool = False,
     pre_buckets=None,         # DepthBuckets built by the host data layer
     pre_lf_table=None,        # less-flat voxel table built by the host data layer
+    mapping_fn=None,          # override the MO stage (parallel/vloam_shard.py
+                              # passes the shard_map-local sharded twin)
 ) -> tuple[VloamState, VloamOutputs]:
     """One coupled frame.  With ``pre_gridded=True`` the lidar inputs are the
     host-built ring grid (data/gridding.py) — the device skips organize_scan
     (the O(N) ring ranking the host does for free inside the prefetcher).
     ``pre_buckets`` likewise moves the VO depth-bucket build
     (data/gridding.depth_buckets) into the host data layer."""
+    if mapping_fn is None:
+        mapping_fn = mapping_step
     if pre_gridded:
         grid, gmask = cloud, cloud_mask
         n_per_ring = jnp.sum(gmask, axis=1).astype(jnp.int32)
@@ -120,7 +124,7 @@ def vloam_step(
             # frames get the high-frequency propagated pose wmap_wodom o wodom
             # (laser_mapping.cpp:184-208, 824-862).
             def run(_):
-                return mapping_step(
+                return mapping_fn(
                     state.mp, feats.less_sharp, feats.less_sharp_mask,
                     feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
                 )
@@ -132,7 +136,7 @@ def vloam_step(
                 state.count % cfg.mapping.skip_frame == 0, run, skip, None
             )
         else:
-            mp_state, world_MOT_base = mapping_step(
+            mp_state, world_MOT_base = mapping_fn(
                 state.mp, feats.less_sharp, feats.less_sharp_mask,
                 feats.less_flat, feats.less_flat_mask, world_LOT_base, cfg,
             )
