@@ -1,0 +1,140 @@
+"""Worker process for the multi-host (DCN) dryrun — see launch_multihost.py.
+
+Each process owns a slice of a global CPU mesh (jax.distributed over
+loopback), runs the sharded mapping step over the GLOBAL mesh — collectives
+cross the process boundary, exactly as they would cross DCN between TPU
+hosts — and checks pose agreement against a process-local single-device run
+of the same frames (SURVEY §5.8 / BASELINE "≥2 hosts" north star).
+
+Invoked as:
+  python tools/multihost_worker.py <coordinator> <num_procs> <proc_id> <out.json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOCAL_DEVICES = 4
+
+
+def main() -> None:
+    coordinator, num_procs, proc_id, out_path = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+
+    import jax
+
+    from vloam_tpu.parallel.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=proc_id
+    )
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vloam_tpu.config import MappingConfig, ScanConfig, kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.models.laser_mapping import init_map_state, mapping_step
+    from vloam_tpu.models.lidar_odometry import init_lo_state, lo_step
+    from vloam_tpu.ops.scan_registration import extract_features
+    from vloam_tpu.parallel.mapping_shard import make_sharded_step
+    from vloam_tpu.parallel.mesh import map_mesh
+
+    n_global = num_procs * LOCAL_DEVICES
+    assert len(jax.devices()) == n_global, (len(jax.devices()), n_global)
+
+    cfg = kitti_hdl64().replace(
+        scan=ScanConfig(ring_cap=512, max_points=32768, less_flat_cap=8192),
+        mapping=MappingConfig(
+            grid_w=7, grid_h=7, grid_d=3,
+            corner_cube_cap=512, surf_cube_cap=1024,
+            corner_stack_cap=1024, surf_stack_cap=2048,
+        ),
+    )
+    mesh = map_mesh(n_global)
+    rep = NamedSharding(mesh, P())
+
+    # identical frame stream on every process (same seeds)
+    scene = synthetic.default_scene()
+    poses = synthetic.straight_trajectory(3, speed=0.8, yaw_rate=0.01)
+    lo = init_lo_state(cfg)
+    frames = []
+    for i, (R, t) in enumerate(poses):
+        pts = synthetic.simulate_scan(R, t, scene, n_azimuth=500, noise=0.005, seed=i)
+        p, m = synthetic.pad_cloud(pts, cfg.scan.max_points)
+        feats = extract_features(jnp.array(p), jnp.array(m), cfg.scan)
+        lo, _, wodom, _ = lo_step(lo, feats, cfg)
+        frames.append((feats, wodom))
+
+    # single-process reference (local devices only)
+    mp_ref = init_map_state(cfg)
+    ref_poses = []
+    for feats, wodom in frames:
+        mp_ref, pose_ref = mapping_step(
+            mp_ref, feats.less_sharp, feats.less_sharp_mask,
+            feats.less_flat, feats.less_flat_mask, wodom, cfg,
+        )
+        ref_poses.append(np.asarray(pose_ref))
+
+    # global sharded run: state materialized ON the global mesh by jit
+    step = make_sharded_step(cfg, mesh)
+    cube = NamedSharding(mesh, P("map"))
+    template = init_map_state(cfg, n_shards=n_global)
+    shardings = type(template)(
+        cube_pts=cube, corner_cnt=cube, surf_cnt=cube, cube_coord=cube,
+        pose_map=rep, wmap_wodom=rep, initialized=rep,
+        sub_c=rep, sub_c_n=rep, sub_s=rep, sub_s_n=rep, sub_center=rep,
+    )
+    mp = jax.jit(
+        lambda: init_map_state(cfg, n_shards=n_global), out_shardings=shardings
+    )()
+
+    def to_global(x):
+        return multihost_utils.host_local_array_to_global_array(np.asarray(x), mesh, P())
+
+    gaps = []
+    for (feats, wodom), pose_ref in zip(frames, ref_poses):
+        mp, pose_w = step(
+            mp, to_global(feats.less_sharp), to_global(feats.less_sharp_mask),
+            to_global(feats.less_flat), to_global(feats.less_flat_mask),
+            to_global(wodom),
+        )
+        pose_local = np.asarray(pose_w.addressable_data(0))
+        gaps.append(float(np.max(np.abs(pose_local - pose_ref))))
+
+    multihost_utils.sync_global_devices("vloam_multihost_done")
+    if proc_id == 0:
+        # Pose agreement tolerance: the shard-merge reorders float reductions
+        # and flips keep/drop decisions for points exactly on the dedup-gate
+        # voxel boundary, so the maps (and hence later-frame poses) drift
+        # apart by a few mm over frames — same phenomenon and order as the
+        # single-process virtual-mesh test (test_parallel_mapping, atol 5e-3).
+        result = {
+            "ok": bool(max(gaps) < 1e-2),
+            "num_processes": num_procs,
+            "local_devices": LOCAL_DEVICES,
+            "global_devices": n_global,
+            "frames": len(frames),
+            "max_pose_gap_vs_single_process": max(gaps),
+            "per_frame_gap": gaps,
+        }
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

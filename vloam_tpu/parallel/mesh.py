@@ -7,8 +7,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: join the jax.distributed coordination service so
+    ``jax.devices()`` spans every host's chips and meshes built from it carry
+    cross-host (DCN) collectives.
+
+    On TPU pods the three arguments auto-detect from the environment; pass
+    them explicitly for CPU loopback testing (tools/launch_multihost.py runs
+    N local processes x 4 virtual devices this way).  Idempotent: safe to
+    call when the backend is already initialized.
+    """
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def map_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
-    """1-D mesh over the map-shard axis."""
+    """1-D mesh over the map-shard axis.
+
+    Uses the GLOBAL device list: after ``init_distributed`` on a multi-host
+    job this spans hosts, and the sharded mapping step's collectives ride
+    ICI within a slice / DCN across hosts with no further changes."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     return Mesh(np.array(devs[:n]), (axis,))
