@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=8192)
     ap.add_argument("--tiny", action="store_true",
                     help="shrunken map config (CPU/virtual-mesh smoke runs)")
+    ap.add_argument("--out", default=None,
+                    help="append results into this JSON artifact (e.g. "
+                         "SCALING_r03.json); existing keys are preserved")
     args = ap.parse_args()
 
     if args.virtual:
@@ -63,10 +66,8 @@ def main() -> None:
     from vloam_tpu.parallel.mapping_shard import make_sharded_step
 
     devices = jax.devices()
-    if len(devices) == 1 and not args.virtual:
-        print(json.dumps({"metric": "mapping_weak_scaling_eff", "value": None,
-                          "unit": "ratio", "note": "single device; rerun with --virtual 8"}))
-        return
+    # Single real chip: still measure S=1 (the real-hardware anchor point for
+    # the artifact); the multi-S efficiencies come from a --virtual run.
 
     cfg = kitti_hdl64()
     if args.tiny:
@@ -126,12 +127,40 @@ def main() -> None:
         }))
 
     base = times[shard_counts[0]]
+    effs = {}
     for S in shard_counts[1:]:
         eff = base / times[S]
+        effs[S] = eff
         print(json.dumps({
             "metric": f"mapping_weak_scaling_eff_S{S}", "value": round(eff, 3),
             "unit": "ratio", "vs_baseline": round(eff / 0.70, 3),
         }))
+
+    if args.out:
+        path = args.out
+        record = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                record = json.load(f)
+        backend = jax.default_backend()
+        key = (
+            f"virtual_cpu_{args.virtual}dev" if args.virtual else f"real_{backend}"
+        )
+        record[key] = {
+            "indicative_only": bool(args.virtual),
+            "note": (
+                "virtual host-platform devices share the CPU cores: step times "
+                "inflate with S but the shardings/collectives are the real "
+                "program" if args.virtual else
+                "real hardware; single chip measures the S=1 anchor"
+            ),
+            "queries_per_step": args.queries,
+            "tiny_config": bool(args.tiny),
+            "step_ms": {str(s): round(t, 3) for s, t in times.items()},
+            "weak_scaling_efficiency": {str(s): round(e, 3) for s, e in effs.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
