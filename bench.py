@@ -7,6 +7,11 @@ steady-state frames/s of the jitted end-to-end step (VO + scan registration
 + LO + mapping, production HDL-64 config) on synthetic raycast frames sized
 like KITTI (~100k points, 376x1248 image) and report vs that 3.3 Hz.
 
+Honesty contract (round-3 fix): the timed window drives 100 UNIQUE frames
+along an ~80 m trajectory that crosses the 50 m cube-grid boundary at least
+once, so per-frame insert scatters, submap-cache rebuilds, and stale-slot
+eviction are all inside the measurement — no frame is ever replayed.
+
 Prints ONE JSON line:
   {"metric": "vloam_pipeline_fps", "value": N, "unit": "frames/s", "vs_baseline": N/3.3}
 """
@@ -18,58 +23,69 @@ import time
 
 import numpy as np
 
+N_WARMUP = 4
+N_TIMED = 100
+
+
+def _gen_frames(cfg, ext):
+    """Host-side frame stream (not timed): raycast scans + blob images +
+    host-gridded lidar layouts, exactly what the production prefetcher feeds."""
+    import jax.numpy as jnp
+
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.data.gridding import depth_buckets, grid_cloud, less_flat_voxel_table
+    from vloam_tpu.ops.depth_map import DepthBuckets
+
+    vc = cfg.visual
+    boxes = synthetic.default_scene()
+    poses = synthetic.straight_trajectory(N_WARMUP + N_TIMED, speed=0.8, yaw_rate=0.005)
+    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
+    proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
+    rng = np.random.default_rng(11)
+
+    box_cx = (boxes[:, 0] + boxes[:, 3]) / 2.0
+
+    blob_world = np.zeros((0, 3))
+    frames = []
+    for i, (R, t) in enumerate(poses):
+        R_wc = R @ synthetic.CAM_R_WORLD.T
+        if i % 8 == 0:
+            # extend the persistent world texture ahead of the camera so VO
+            # always has trackable features along the whole drive
+            uv = np.stack(
+                [rng.uniform(20, vc.img_width - 20, 700),
+                 rng.uniform(20, vc.img_height - 20, 700)], -1
+            )
+            pc, hit = synthetic.raycast_camera(R_wc, t, boxes, K, uv)
+            blob_world = np.concatenate([blob_world, (pc[hit] @ R_wc.T) + t])
+
+        # rays reach 80 m: boxes farther than 100 m from the sensor cannot be
+        # hit — culling them is exact and cuts the raycast ~3x
+        near = boxes[np.abs(box_cx - t[0]) < 100.0]
+        cloud = synthetic.simulate_scan(R, t, near, n_azimuth=1800, noise=0.005, seed=i)
+
+        vis = blob_world[np.linalg.norm(blob_world - t, axis=1) < 90.0]
+        img = synthetic.render_blob_image((vis - t) @ R_wc, K, vc.img_height, vc.img_width)
+
+        grid, gmask, _ = grid_cloud(cloud, cfg.scan)
+        bu, bv, bz, bc = depth_buckets(grid.reshape(-1, 4), gmask.reshape(-1), proj, vc)
+        buckets = DepthBuckets(jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc))
+        sg, bs, nr = less_flat_voxel_table(grid, gmask, cfg.scan)
+        lf = (jnp.array(sg), jnp.array(bs), jnp.array(nr, np.int32))
+        frames.append((jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets, lf))
+    return frames
+
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from vloam_tpu.config import kitti_hdl64
-    from vloam_tpu.data import synthetic
     from vloam_tpu.models import frame_graph as fg
     from vloam_tpu.models.vloam import init_vloam_state, vloam_step
 
     cfg = kitti_hdl64()
     ext = fg.kitti_default_extrinsics()
-    vc = cfg.visual
-
-    # --- pre-generate frames on host (not timed) ---------------------------
-    boxes = synthetic.default_scene()
-    poses = synthetic.straight_trajectory(6, speed=0.8, yaw_rate=0.005)
-    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
-    rng = np.random.default_rng(11)
-    uv0 = np.stack(
-        [rng.uniform(20, vc.img_width - 20, 1400), rng.uniform(20, vc.img_height - 20, 1400)], -1
-    )
-    R_wc0 = poses[0][0] @ synthetic.CAM_R_WORLD.T
-    pc0, hit = synthetic.raycast_camera(R_wc0, poses[0][1], boxes, K, uv0)
-    blob_world = (pc0[hit] @ R_wc0.T) + poses[0][1]
-
-    # Frames are host-gridded and host-bucketed (data/gridding.py), as in the
-    # production driver: the O(N) ring ranking and the lidar->camera depth
-    # buckets run inside the async loader overlapped with the previous frame's
-    # device step, so they are not part of the device hot loop (equivalently
-    # the reference runs ScanRegistration and the bucket build on CPU).
-    from vloam_tpu.data.gridding import depth_buckets, grid_cloud, less_flat_voxel_table
-    from vloam_tpu.ops.depth_map import DepthBuckets
-
-    proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
-    frames = []
-    for i, (R, t) in enumerate(poses):
-        cloud = synthetic.simulate_scan(R, t, boxes, n_azimuth=1800, noise=0.005, seed=i)
-        R_wc = R @ synthetic.CAM_R_WORLD.T
-        img = synthetic.render_blob_image(
-            (blob_world - t) @ R_wc, K, vc.img_height, vc.img_width
-        )
-        grid, gmask, _ = grid_cloud(cloud, cfg.scan)
-        bu, bv, bz, bc = depth_buckets(
-            grid.reshape(-1, 4), gmask.reshape(-1), proj, vc
-        )
-        buckets = DepthBuckets(jnp.array(bu), jnp.array(bv), jnp.array(bz), jnp.array(bc))
-        sg, bs, nr = less_flat_voxel_table(grid, gmask, cfg.scan)
-        lf = (jnp.array(sg), jnp.array(bs), jnp.array(nr, np.int32))
-        frames.append(
-            (jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets, lf)
-        )
+    frames = _gen_frames(cfg, ext)
 
     # donated state => in-place cube-map updates (no per-frame copy)
     step = jax.jit(
@@ -81,20 +97,18 @@ def main() -> None:
     state = init_vloam_state(cfg)
 
     # warm-up: compile + map bootstrap
-    for f in frames[:2]:
-        state, out = step(state, *f)
-    out.mo_pose.block_until_ready()
-
-    # Steady-state throughput: frames stream through the device asynchronously
-    # (trajectory rows are fetched in batches in production); one final fetch
-    # closes the timing window through the full sequential state dependency.
-    n_timed = 24
-    t0 = time.perf_counter()
-    for k in range(n_timed):
-        f = frames[2 + k % (len(frames) - 2)]
+    for f in frames[:N_WARMUP]:
         state, out = step(state, *f)
     np.asarray(out.mo_pose)
-    fps = n_timed / (time.perf_counter() - t0)
+
+    # Steady-state throughput over 100 unique frames (cube-boundary crossing
+    # included); one final fetch closes the timing window through the full
+    # sequential state dependency.
+    t0 = time.perf_counter()
+    for f in frames[N_WARMUP:]:
+        state, out = step(state, *f)
+    np.asarray(out.mo_pose)
+    fps = N_TIMED / (time.perf_counter() - t0)
     baseline_fps = 3.3
     print(
         json.dumps(

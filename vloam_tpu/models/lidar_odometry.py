@@ -110,6 +110,89 @@ def _plane_correspondences(d2, idx, flat, flat_mask, cand, cfg):
     return flat[:, :3], nrm, d, valid & ok_n
 
 
+def solve_f2f(
+    feats: ScanFeatures,
+    cand_corner: jax.Array, cand_corner_mask: jax.Array,
+    cand_surf: jax.Array, cand_surf_mask: jax.Array,
+    pose0: jax.Array,
+    cfg: VloamConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Register ``feats`` against arbitrary candidate clouds: the LO solve
+    body (association + GN, laser_odometry.cpp:224-516) factored out so
+    loop-closure registration (parallel/loop_closure.py) can align ANY two
+    keyframe scans, not just consecutive frames.
+
+    Returns (pose cand_T_feats, counts (2,) int32 edge/plane correspondences).
+    """
+    oc = cfg.odom
+
+    # valid-prefix length: the less-flat buffer may carry masked holes
+    n_sc = cand_surf_mask.shape[0]
+    surf_n = jnp.max(
+        jnp.where(cand_surf_mask, jnp.arange(1, n_sc + 1, dtype=jnp.int32), 0)
+    )
+
+    if oc.distortion:
+        sp = cfg.scan.scan_period
+        s_e = jnp.clip((feats.sharp[:, 3] - jnp.floor(feats.sharp[:, 3])) / sp, 0.0, 1.0)
+        s_s = jnp.clip((feats.flat[:, 3] - jnp.floor(feats.flat[:, 3])) / sp, 0.0, 1.0)
+
+    from vloam_tpu.ops.pallas_knn import knn_lanemin_pair
+
+    pose = pose0
+    for _ in range(oc.outer_iters):
+        # ONE fused kernel launch + epilogue for both association problems
+        # (sharp vs less-sharp AND flat vs less-flat); the CPU fallback
+        # inside is two plain knn calls.
+        if oc.distortion:
+            # TransformToStart with the per-point slerp fraction
+            # (laser_odometry.cpp:285,390).
+            q_e = lidar_factors.pose_apply_interp(pose, feats.sharp[:, :3], s_e)
+            q_s = lidar_factors.pose_apply_interp(pose, feats.flat[:, :3], s_s)
+        else:
+            q_e = geo.pose_apply(pose, feats.sharp[:, :3])
+            q_s = geo.pose_apply(pose, feats.flat[:, :3])
+        (d2e, idxe), (d2s, idxs) = knn_lanemin_pair(
+            q_e, cand_corner[:, :3], cand_corner_mask, oc.assoc_k,
+            q_s, cand_surf[:, :3], cand_surf_mask, oc.assoc_k_surf,
+            b_counts=(None, surf_n),
+        )
+        p_e, a_e, b_e, v_e = _edge_correspondences(
+            d2e, idxe, feats.sharp, feats.sharp_mask, cand_corner, cfg
+        )
+        p_s, n_s, d_s, v_s = _plane_correspondences(
+            d2s, idxs, feats.flat, feats.flat_mask, cand_surf, cfg
+        )
+
+        if oc.distortion:
+            # Per-point slerp inside the residuals (the factors' s parameter,
+            # lidarFactor.hpp:30-44).  Not the KITTI hot path, so the XLA
+            # jacfwd solver is fine; the fused Pallas kernel stays
+            # specialized to s = 1.
+            from vloam_tpu.ops.gauss_newton import solve_pose_gn
+
+            def residuals(pp, p_e=p_e, a_e=a_e, b_e=b_e, v_e=v_e,
+                          p_s=p_s, n_s=n_s, d_s=d_s, v_s=v_s):
+                r_e = lidar_factors.edge_residual_interp(pp, p_e, a_e, b_e, s_e)
+                r_s = lidar_factors.plane_residual_interp(pp, p_s, n_s, d_s, s_s)
+                return ((r_e, v_e), (r_s, v_s))
+
+            pose = solve_pose_gn(
+                residuals, pose, oc.inner_iters, oc.huber_delta, oc.lm_lambda
+            )
+        else:
+            # All inner iterations fuse into ONE Pallas launch on TPU
+            # (solve_pose_gn is the CPU fallback inside).
+            pose = solve_pose_gn_lidar(
+                pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
+                oc.inner_iters, oc.huber_delta, oc.lm_lambda,
+            )
+    counts = jnp.stack(
+        [jnp.sum(v_e, dtype=jnp.int32), jnp.sum(v_s, dtype=jnp.int32)]
+    )
+    return pose, counts
+
+
 def lo_step(
     state: LoState, feats: ScanFeatures, cfg: VloamConfig, vo_prior: jax.Array | None = None
 ) -> tuple[LoState, jax.Array, jax.Array, jax.Array]:
@@ -126,78 +209,11 @@ def lo_step(
 
     pose0 = state.last_delta if vo_prior is None else vo_prior
 
-    # The less-flat buffer may carry masked holes (host-pre-reduced voxel runs
-    # emptied by edge subtraction), so the knn valid-length is last-valid+1,
-    # not the mask sum — holes inside the range are sentinel-masked anyway.
-    n_s = state.last_surf_mask.shape[0]
-    surf_n = jnp.max(
-        jnp.where(state.last_surf_mask, jnp.arange(1, n_s + 1, dtype=jnp.int32), 0)
-    )
-
-    # Intra-scan time fraction per feature point: the w channel carries
-    # ring + scan_period * rel_time (scan_registration.cpp:294-297), so
-    # s = frac(w) / scan_period — the reference's interpolation ratio
-    # (laser_odometry.cpp:156-160).  Only consumed when odom.distortion.
-    if oc.distortion:
-        sp = cfg.scan.scan_period
-        s_e = jnp.clip((feats.sharp[:, 3] - jnp.floor(feats.sharp[:, 3])) / sp, 0.0, 1.0)
-        s_s = jnp.clip((feats.flat[:, 3] - jnp.floor(feats.flat[:, 3])) / sp, 0.0, 1.0)
-
     def solve(pose_init):
-        from vloam_tpu.ops.pallas_knn import knn_lanemin_pair
-
-        pose = pose_init
-        for _ in range(oc.outer_iters):
-            # ONE fused kernel launch + epilogue for both association
-            # problems (sharp vs last less-sharp AND flat vs last less-flat);
-            # the CPU fallback inside is two plain knn calls.
-            if oc.distortion:
-                # TransformToStart with the per-point slerp fraction
-                # (laser_odometry.cpp:285,390).
-                q_e = lidar_factors.pose_apply_interp(pose, feats.sharp[:, :3], s_e)
-                q_s = lidar_factors.pose_apply_interp(pose, feats.flat[:, :3], s_s)
-            else:
-                q_e = geo.pose_apply(pose, feats.sharp[:, :3])
-                q_s = geo.pose_apply(pose, feats.flat[:, :3])
-            (d2e, idxe), (d2s, idxs) = knn_lanemin_pair(
-                q_e, state.last_corner[:, :3], state.last_corner_mask, oc.assoc_k,
-                q_s, state.last_surf[:, :3], state.last_surf_mask, oc.assoc_k_surf,
-                b_counts=(None, surf_n),
-            )
-            p_e, a_e, b_e, v_e = _edge_correspondences(
-                d2e, idxe, feats.sharp, feats.sharp_mask, state.last_corner, cfg
-            )
-            p_s, n_s, d_s, v_s = _plane_correspondences(
-                d2s, idxs, feats.flat, feats.flat_mask, state.last_surf, cfg
-            )
-
-            if oc.distortion:
-                # Per-point slerp inside the residuals (the factors' s
-                # parameter, lidarFactor.hpp:30-44).  Not the KITTI hot path
-                # (DISTORTION=false there), so the XLA jacfwd solver is fine;
-                # the fused Pallas kernel stays specialized to s = 1.
-                from vloam_tpu.ops.gauss_newton import solve_pose_gn
-
-                def residuals(pp, p_e=p_e, a_e=a_e, b_e=b_e, v_e=v_e,
-                              p_s=p_s, n_s=n_s, d_s=d_s, v_s=v_s):
-                    r_e = lidar_factors.edge_residual_interp(pp, p_e, a_e, b_e, s_e)
-                    r_s = lidar_factors.plane_residual_interp(pp, p_s, n_s, d_s, s_s)
-                    return ((r_e, v_e), (r_s, v_s))
-
-                pose = solve_pose_gn(
-                    residuals, pose, oc.inner_iters, oc.huber_delta, oc.lm_lambda
-                )
-            else:
-                # All inner iterations fuse into ONE Pallas launch on TPU
-                # (solve_pose_gn is the CPU fallback inside).
-                pose = solve_pose_gn_lidar(
-                    pose, (p_e, a_e, b_e, v_e), (p_s, n_s, d_s, v_s),
-                    oc.inner_iters, oc.huber_delta, oc.lm_lambda,
-                )
-        counts = jnp.stack(
-            [jnp.sum(v_e, dtype=jnp.int32), jnp.sum(v_s, dtype=jnp.int32)]
+        return solve_f2f(
+            feats, state.last_corner, state.last_corner_mask,
+            state.last_surf, state.last_surf_mask, pose_init, cfg,
         )
-        return pose, counts
 
     delta, corr_counts = jax.lax.cond(
         state.initialized,

@@ -1,0 +1,118 @@
+"""Loop closure for the pose-graph backend (capability beyond the reference).
+
+The reference never revisits past poses (SURVEY §2: no BA, no loop
+closures); parallel/pose_graph.py accepts arbitrary relative-pose factors
+but round 2 shipped nothing that generates one.  This module closes that
+gap with the classic three-stage pipeline, TPU-style split:
+
+  1. ``detect_revisits`` — HOST control plane: a proximity + temporal-gap
+     gate over the estimated keyframe positions (cheap O(N^2) NumPy at
+     keyframe rate; no device round-trips).
+  2. ``register_loop`` — DEVICE data plane: align the two keyframes' feature
+     clouds with the same fused association + GN solve LO uses
+     (models/lidar_odometry.solve_f2f), seeded by the current (drifted)
+     relative estimate, with extra outer iterations for the larger basin.
+  3. ``loop_factors`` — emit accepted registrations as relative-pose factors
+     for parallel/pose_graph.optimize_pose_graph.
+
+Acceptance gates: enough edge+plane correspondences (map-overlap evidence)
+and a registered correction bounded by the search radius (a wild solution
+means the overlap was spurious).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from vloam_tpu import geometry as geo
+from vloam_tpu.config import VloamConfig
+from vloam_tpu.models.lidar_odometry import solve_f2f
+from vloam_tpu.ops.scan_registration import ScanFeatures
+from vloam_tpu.parallel.pose_graph import PoseGraphFactors
+
+
+def detect_revisits(
+    positions: np.ndarray,     # (N, 3) estimated keyframe positions (world)
+    min_gap: int = 20,         # temporal separation in keyframes
+    radius: float = 5.0,       # spatial proximity gate (m)
+    min_spacing: int = 5,      # keyframes between accepted loop queries
+) -> list[tuple[int, int]]:
+    """Proximity-gated revisit candidates: (j, k) with j + min_gap <= k and
+    |p_k - p_j| < radius; per k the closest such j; at most one candidate
+    every ``min_spacing`` keyframes (loop factors are expensive to register
+    and near-duplicate loops add nothing)."""
+    pos = np.asarray(positions, np.float64)
+    n = len(pos)
+    pairs: list[tuple[int, int]] = []
+    last_k = -(10**9)
+    for k in range(n):
+        j_hi = k - min_gap
+        if j_hi <= 0 or k - last_k < min_spacing:
+            continue
+        d = np.linalg.norm(pos[:j_hi] - pos[k], axis=1)
+        j = int(np.argmin(d))
+        if d[j] < radius:
+            pairs.append((j, k))
+            last_k = k
+    return pairs
+
+
+def register_loop(
+    feats_j: ScanFeatures,
+    feats_k: ScanFeatures,
+    rel_init: jnp.ndarray,     # (7,) current estimate of j_T_k (from the chains)
+    cfg: VloamConfig,
+    radius: float = 5.0,
+    min_corr: int = 150,
+    outer_iters: int = 5,
+) -> tuple[np.ndarray, int, bool]:
+    """Scan-to-scan registration of keyframe k against keyframe j.
+
+    Returns (z_jk (7,) j_T_k, total correspondences, accepted).  Uses more
+    outer association/solve rounds than the frame-to-frame default because
+    the initial error after drift is metres, not centimetres.
+    """
+    loop_cfg = dataclasses.replace(
+        cfg, odom=dataclasses.replace(cfg.odom, outer_iters=outer_iters, distortion=False)
+    )
+    pose, counts = solve_f2f(
+        feats_k,
+        feats_j.less_sharp, feats_j.less_sharp_mask,
+        feats_j.less_flat, feats_j.less_flat_mask,
+        jnp.asarray(rel_init, jnp.float32), loop_cfg,
+    )
+    z = np.asarray(pose)
+    n_corr = int(np.asarray(counts).sum())
+    correction = np.asarray(
+        geo.pose_compose(geo.pose_inverse(jnp.asarray(rel_init, jnp.float32)), pose)
+    )
+    accepted = (
+        n_corr >= min_corr
+        and bool(np.all(np.isfinite(z)))
+        and float(np.linalg.norm(correction[4:])) < 2.0 * radius
+    )
+    return z, n_corr, accepted
+
+
+def loop_factors(
+    pairs: list[tuple[int, int]],
+    zs: list[np.ndarray],
+    weight: float = 5.0,
+) -> PoseGraphFactors:
+    """Accepted loop registrations -> relative-pose factors (i_T_j = z)."""
+    if not pairs:
+        return PoseGraphFactors(
+            i=jnp.zeros((0,), jnp.int32), j=jnp.zeros((0,), jnp.int32),
+            z=jnp.zeros((0, 7), jnp.float32), weight=jnp.zeros((0,), jnp.float32),
+            valid=jnp.zeros((0,), bool),
+        )
+    return PoseGraphFactors(
+        i=jnp.array([p[0] for p in pairs], jnp.int32),
+        j=jnp.array([p[1] for p in pairs], jnp.int32),
+        z=jnp.array(np.stack(zs), jnp.float32),
+        weight=jnp.full((len(pairs),), weight, jnp.float32),
+        valid=jnp.ones((len(pairs),), bool),
+    )

@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--refine", action="store_true",
                    help="post-sequence pose-graph fusion of the VO/LO/MO chains "
                         "(writes MO{d}_refined.txt)")
+    p.add_argument("--loop-closure", action="store_true",
+                   help="detect revisits, register loop factors, and include "
+                        "them in the --refine pose graph (implies --refine)")
+    p.add_argument("--keyframe-every", type=int, default=10,
+                   help="loop-closure keyframe period in frames")
     p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
     p.add_argument("--json", action="store_true", help="print metrics as one JSON line")
     p.add_argument("--checkpoint-dir", default=None, help="save pipeline state snapshots here")
@@ -122,7 +127,8 @@ def main() -> None:
                         verbose=not args.json, checkpoint_dir=args.checkpoint_dir,
                         checkpoint_every=args.checkpoint_every, resume=args.resume,
                         debug_dir=args.debug_dir, debug_every=args.debug_every,
-                        refine=args.refine)
+                        refine=args.refine, loop_closure=args.loop_closure,
+                        keyframe_every=args.keyframe_every)
     if args.json:
         print(json.dumps(res))
 

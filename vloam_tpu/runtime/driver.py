@@ -65,6 +65,8 @@ class VloamDriver:
         debug_dir: str | None = None,
         debug_every: int = 0,
         refine: bool = False,
+        loop_closure: bool = False,
+        keyframe_every: int = 10,
     ):
         self.cfg = cfg
         self.ext = ext
@@ -78,9 +80,15 @@ class VloamDriver:
         self._debug_prev = None
         # Pose-graph backend (the reference has none): accumulate per-frame
         # world poses and fuse the three odometry chains after the sequence.
-        self.refine = refine
+        self.refine = refine or loop_closure
         self._world_hist: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._refined: np.ndarray | None = None
+        # Loop closure (parallel/loop_closure.py): keep every Nth frame's
+        # ring grid on host (~2 MB/keyframe) so revisits detected on the MO
+        # chain at close() can be re-registered scan-to-scan.
+        self.loop_closure = loop_closure
+        self.keyframe_every = keyframe_every
+        self._keyframes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if debug_dir:
             os.makedirs(debug_dir, exist_ok=True)
         # lidar frames arrive as host-built ring grids (data/gridding.py): the
@@ -178,6 +186,8 @@ class VloamDriver:
             img = pad_image(image, cfg)
         if self.debug_dir and self.debug_every and self.count % self.debug_every == 0:
             self.dump_debug(img, np.asarray(grid), np.asarray(gmask))
+        if self.loop_closure and self.count % self.keyframe_every == 0:
+            self._keyframes[self.count] = (np.asarray(grid), np.asarray(gmask))
         with self.timer.stage("host_buckets"):
             # VO depth buckets built host-side (overlapped with the device's
             # previous frame under async dispatch), like the ring gridding
@@ -235,6 +245,59 @@ class VloamDriver:
             self.save_checkpoint()
         return out
 
+    def _loop_factors(self, mo: np.ndarray):
+        """Detect + register loop closures over the stored keyframes.
+
+        Revisits are gated on the MO chain's keyframe positions; accepted
+        registrations (parallel/loop_closure.register_loop) become
+        relative-pose factors indexed into the full frame graph."""
+        from vloam_tpu.ops.scan_registration import extract_features_from_grid
+        from vloam_tpu.parallel.loop_closure import (
+            detect_revisits, loop_factors, register_loop,
+        )
+
+        kf_ids = sorted(self._keyframes)
+        kf_ids = [i for i in kf_ids if i < len(mo)]
+        if len(kf_ids) < 2:
+            return None
+        positions = np.stack([mo[i][4:] for i in kf_ids])
+        pairs_kf = detect_revisits(positions, min_gap=3, radius=6.0, min_spacing=2)
+        if not pairs_kf:
+            return None
+
+        feats_fn = jax.jit(
+            lambda g, m: extract_features_from_grid(
+                jnp.array(g), jnp.array(m),
+                jnp.sum(jnp.array(m), axis=1).astype(jnp.int32), self.cfg.scan,
+            )
+        )
+        feat_cache: dict[int, object] = {}
+
+        def feats_of(fid):
+            if fid not in feat_cache:
+                g, m = self._keyframes[fid]
+                feat_cache[fid] = feats_fn(g, m)
+            return feat_cache[fid]
+
+        accepted_pairs, zs = [], []
+        for jk, kk in pairs_kf:
+            fj, fk = kf_ids[jk], kf_ids[kk]
+            rel_init = geo.pose_compose(
+                geo.pose_inverse(jnp.array(mo[fj], jnp.float32)),
+                jnp.array(mo[fk], jnp.float32),
+            )
+            z, n_corr, ok = register_loop(
+                feats_of(fj), feats_of(fk), rel_init, self.cfg, radius=6.0
+            )
+            if self.cfg.verbose_level >= 1:
+                print(f"[loop] frames ({fj},{fk}): corr={n_corr} accepted={ok}")
+            if ok:
+                accepted_pairs.append((fj, fk))
+                zs.append(z)
+        if not accepted_pairs:
+            return None
+        return loop_factors(accepted_pairs, zs, weight=5.0)
+
     def refine_trajectory(
         self, w_mo: float = 1.0, w_lo: float = 0.2, w_vo: float = 0.05, iters: int = 8
     ) -> np.ndarray | None:
@@ -267,6 +330,10 @@ class VloamDriver:
             odometry_factors(chain_deltas(lo), weight=w_lo),
             odometry_factors(chain_deltas(vo), weight=w_vo),
         )
+        if self._keyframes:
+            lf = self._loop_factors(mo)
+            if lf is not None:
+                factors = concat_factors(factors, lf)
         refined = optimize_pose_graph(jnp.array(mo, jnp.float32), factors, iters=iters)
         refined = np.asarray(refined)
 
@@ -376,6 +443,8 @@ def run_kitti(
     debug_dir: str | None = None,
     debug_every: int = 0,
     refine: bool = False,
+    loop_closure: bool = False,
+    keyframe_every: int = 10,
 ):
     """Run the pipeline over a real KITTI sequence (raw or odometry layout).
 
@@ -387,7 +456,8 @@ def run_kitti(
     ext = extrinsics_from_calib(sequence.calib)
     driver = VloamDriver(cfg, ext, out_dir,
                          checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-                         debug_dir=debug_dir, debug_every=debug_every, refine=refine)
+                         debug_dir=debug_dir, debug_every=debug_every, refine=refine,
+                         loop_closure=loop_closure, keyframe_every=keyframe_every)
     if resume:
         start = driver.restore_checkpoint(resume)
     end = len(sequence) if end is None else min(end, len(sequence))
