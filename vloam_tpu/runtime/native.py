@@ -17,11 +17,42 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libvl
 _lib = None
 
 
+def _try_build() -> bool:
+    """Build libvloam_host.so in place on first use (g++ + libpng, ~5 s).
+
+    Concurrency-safe: compiles to a per-PID temp name, then os.replace.
+    Set VLOAM_NO_NATIVE_BUILD=1 to force the NumPy fallback loaders.
+    """
+    if os.environ.get("VLOAM_NO_NATIVE_BUILD"):
+        return False
+    import subprocess
+
+    src_dir = os.path.dirname(os.path.abspath(_LIB_PATH))
+    src = os.path.join(src_dir, "vloam_host.cpp")
+    if not os.path.exists(src):
+        return False
+    tmp = os.path.join(src_dir, f".libvloam_host.{os.getpid()}.so")
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", tmp, src,
+             "-lpng", "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, _LIB_PATH)
+        return True
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) and not _try_build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vh_load_bin.restype = ctypes.c_int
