@@ -2,6 +2,7 @@
 DescriptorType::AKAZE parity, image_util.cpp:98-102,306-310)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vloam_tpu.ops import akaze
@@ -32,6 +33,7 @@ def test_diffusion_preserves_edges(rng):
     assert edge > 120.0
 
 
+@pytest.mark.slow
 def test_akaze_detect(rng):
     img = _texture(rng)
     kp = akaze.detect(jnp.array(img), 512)

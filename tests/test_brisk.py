@@ -2,6 +2,7 @@
 DescriptorType::BRISK/FREAK parity, image_util.cpp:88-92,296-299,311-315)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vloam_tpu.ops import brisk
@@ -45,6 +46,7 @@ def _match_translation(rng, describe_fn, shift=6, min_matches=25):
     assert abs(med[0] - shift) < 1.5 and abs(med[1]) < 1.5
 
 
+@pytest.mark.slow
 def test_brisk_descriptor_matching(rng):
     _match_translation(rng, brisk.brisk_descriptors)
 

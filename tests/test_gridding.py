@@ -1,6 +1,7 @@
 """Host ring gridding (data/gridding.py) vs the device organize_scan oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vloam_tpu.config import ScanConfig, kitti_hdl64
@@ -28,6 +29,7 @@ def test_host_grid_matches_device():
     np.testing.assert_allclose(np.asarray(g_dev), g_host, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pre_gridded_features_match():
     cfg = ScanConfig(ring_cap=1024, max_points=65536, less_flat_cap=8192)
     pts = _scan(seed=3)

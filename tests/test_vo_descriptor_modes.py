@@ -35,6 +35,7 @@ def _texture(rng, H, W):
     return (img / img.max() * 255.0).astype(np.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "desc,matcher,det",
     [
