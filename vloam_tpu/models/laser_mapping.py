@@ -31,7 +31,7 @@ from vloam_tpu.ops import lidar_factors
 from vloam_tpu.ops.gauss_newton import solve_pose_gn  # noqa: F401 (distributed path)
 from vloam_tpu.ops.pallas_gn import solve_pose_gn_lidar
 from vloam_tpu.ops.knn import knn, nn1
-from vloam_tpu.ops.linalg3 import eigh3x3, solve3x3
+from vloam_tpu.ops.linalg3 import eigh3x3_sym, solve3x3_sym
 from vloam_tpu.ops.voxel import voxel_downsample
 
 
@@ -133,32 +133,52 @@ def _gather_submap(state: MapState, coords: jax.Array, cfg: VloamConfig):
 
 def fit_corner_lines(stack, stack_mask, nbr, d2, cfg):
     """PCA line fit from gathered 5-NN neighbours (laser_mapping.cpp:557-604).
-    nbr: (M, 5, 3) neighbour xyz; d2: (M, 5) their squared distances."""
+    nbr: (M, 5, 3) neighbour xyz; d2: (M, 5) their squared distances.
+
+    Covariance components and the eigensolve run in structure-of-arrays form
+    (full-lane (M,) vectors) — the (M, 3, 3) formulation put the vector axis
+    in the lane dimension and cost ~1 ms/frame of kLoop fusions."""
     mc = cfg.mapping
-    center = jnp.mean(nbr, axis=1)
-    zm = nbr - center[:, None, :]
-    cov = jnp.einsum("mki,mkj->mij", zm, zm)
-    vals, vecs = eigh3x3(cov)
-    direction = vecs[..., :, 2]                              # largest-eigval column
-    is_line = vals[..., 2] > mc.eigen_ratio * vals[..., 1]
+    x, y, z = nbr[..., 0], nbr[..., 1], nbr[..., 2]          # (M, 5) each
+    cx, cy, cz = jnp.mean(x, axis=1), jnp.mean(y, axis=1), jnp.mean(z, axis=1)
+    zx, zy, zz = x - cx[:, None], y - cy[:, None], z - cz[:, None]
+    a = jnp.sum(zx * zx, axis=1)
+    b = jnp.sum(zy * zy, axis=1)
+    c = jnp.sum(zz * zz, axis=1)
+    dd = jnp.sum(zx * zy, axis=1)
+    ee = jnp.sum(zy * zz, axis=1)
+    ff = jnp.sum(zx * zz, axis=1)
+    (_, e2, e3), (_, _, v3) = eigh3x3_sym(a, b, c, dd, ee, ff)
+    is_line = e3 > mc.eigen_ratio * e2
     valid = stack_mask & (d2[:, -1] < mc.neighbor_dist_sq) & is_line
-    a = center + mc.line_span * direction
-    b = center - mc.line_span * direction
-    return stack[:, :3], a, b, valid
+    span = mc.line_span
+    pa = jnp.stack([cx + span * v3[0], cy + span * v3[1], cz + span * v3[2]], axis=-1)
+    pb = jnp.stack([cx - span * v3[0], cy - span * v3[1], cz - span * v3[2]], axis=-1)
+    return stack[:, :3], pa, pb, valid
 
 
 def fit_surf_planes(stack, stack_mask, nbr, d2, cfg):
-    """Least-squares plane fit A n = -1 from 5-NN (laser_mapping.cpp:637-681)."""
+    """Least-squares plane fit A n = -1 from 5-NN (laser_mapping.cpp:637-681).
+
+    Component form throughout (see fit_corner_lines): normal-equation
+    components and the Cramer solve are full-lane (M,) vector ops."""
     mc = cfg.mapping
-    ata = jnp.einsum("mki,mkj->mij", nbr, nbr)
-    atb = -jnp.sum(nbr, axis=1)
-    nrm = solve3x3(ata, atb)                                 # (M, 3)
-    inv_len = 1.0 / jnp.maximum(jnp.linalg.norm(nrm, axis=-1), 1e-10)
+    x, y, z = nbr[..., 0], nbr[..., 1], nbr[..., 2]          # (M, 5) each
+    a = jnp.sum(x * x, axis=1)
+    b = jnp.sum(y * y, axis=1)
+    c = jnp.sum(z * z, axis=1)
+    dd = jnp.sum(x * y, axis=1)
+    ee = jnp.sum(y * z, axis=1)
+    ff = jnp.sum(x * z, axis=1)
+    bx, by, bz = -jnp.sum(x, axis=1), -jnp.sum(y, axis=1), -jnp.sum(z, axis=1)
+    nx, ny, nz = solve3x3_sym(a, b, c, dd, ee, ff, bx, by, bz)
+    inv_len = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-10)
     d = inv_len                                              # negative_OA_dot_norm
-    n_unit = nrm * inv_len[:, None]
-    fit = jnp.abs(jnp.einsum("mki,mi->mk", nbr, n_unit) + d[:, None])
+    nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+    fit = jnp.abs(x * nx[:, None] + y * ny[:, None] + z * nz[:, None] + d[:, None])
     plane_ok = jnp.all(fit <= mc.plane_fit_tol, axis=-1)
     valid = stack_mask & (d2[:, -1] < mc.neighbor_dist_sq) & plane_ok
+    n_unit = jnp.stack([nx, ny, nz], axis=-1)
     return stack[:, :3], n_unit, d, valid
 
 
