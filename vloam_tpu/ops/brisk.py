@@ -172,30 +172,72 @@ def _freak_pairs() -> tuple[np.ndarray, np.ndarray]:
 _FREAK_DESC_PAIRS, _FREAK_ORI_PAIRS = _freak_pairs()
 
 
+N_ROT = 30                # pre-rotated pattern grids (ORB's 2pi/30 binning)
+_BANK_CACHE: dict = {}
+
+
+def _pattern_tap_bank(
+    pat_xy: np.ndarray, pat_lv: np.ndarray, n_rot: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear tap tables for n_rot pre-rotated copies of the pattern.
+
+    Returns (idx (n_rot*K, 4) int32 into the blur-level-major (3*P*P) patch
+    stack, w (n_rot*K, 4) float32).  The trace expands these into a dense
+    sampling matrix (small constants in the program; the dense matrix would
+    blow the remote-compile payload)."""
+    key = (pat_xy.tobytes(), pat_lv.tobytes(), n_rot)
+    if key in _BANK_CACHE:
+        return _BANK_CACHE[key]
+    idx_all, w_all = [], []
+    for b in range(n_rot):
+        th = b * 2.0 * np.pi / n_rot
+        c, s = np.cos(th), np.sin(th)
+        px = (c * pat_xy[:, 0] - s * pat_xy[:, 1]) + (PATCH - 1) / 2.0
+        py = (s * pat_xy[:, 0] + c * pat_xy[:, 1]) + (PATCH - 1) / 2.0
+        x0 = np.clip(np.floor(px), 0, PATCH - 2).astype(np.int64)
+        y0 = np.clip(np.floor(py), 0, PATCH - 2).astype(np.int64)
+        fx = np.clip(px - x0, 0.0, 1.0)
+        fy = np.clip(py - y0, 0.0, 1.0)
+        base = pat_lv.astype(np.int64) * (PATCH * PATCH) + y0 * PATCH + x0
+        idx_all.append(np.stack([base, base + 1, base + PATCH, base + PATCH + 1], -1))
+        w_all.append(
+            np.stack([(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], -1)
+        )
+    bank = (
+        np.concatenate(idx_all).astype(np.int32),
+        np.concatenate(w_all).astype(np.float32),
+    )
+    _BANK_CACHE[key] = bank
+    return bank
+
+
 def _sample_pattern(
     img: jax.Array,
     kp: ScaleKeypoints,
     pat_xy: np.ndarray,       # (K, 2)
     pat_lv: np.ndarray,       # (K,) blur level id
-    angle: jax.Array | None,  # (N,) or None for upright sampling
+    abin: jax.Array | None,   # (N,) int32 rotation bin, or None for upright
 ) -> tuple[jax.Array, jax.Array]:
     """Sample all pattern points for all keypoints: (N, K) intensities +
     validity.  Patches are sliced at each keypoint's own octave, from the
-    blur stack matching each pattern point's smoothing level."""
+    blur stack matching each pattern point's smoothing level.
+
+    Sampling is ONE bf16 MXU matmul of the (N, 3*P*P) patch stacks against a
+    bank of N_ROT pre-rotated bilinear-weight rows + a one-hot bin select —
+    the per-keypoint continuous-angle gathers this replaces ran ~8.5 ns per
+    serially-gathered element and dominated the 69/50 ms BRISK/FREAK frames
+    (rotation therefore quantizes to 2pi/30, the ORB trade)."""
     N = kp.pts.shape[0]
     K = pat_xy.shape[0]
-    pat = jnp.asarray(pat_xy)
-    lv = jnp.asarray(pat_lv)
+    n_rot = 1 if abin is None else N_ROT
+    idx_t, w_t = _pattern_tap_bank(pat_xy, pat_lv, n_rot)
 
-    if angle is None:
-        px = jnp.broadcast_to(pat[None, :, 0], (N, K))
-        py = jnp.broadcast_to(pat[None, :, 1], (N, K))
-    else:
-        c, s = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
-        px = c * pat[None, :, 0] - s * pat[None, :, 1]
-        py = s * pat[None, :, 0] + c * pat[None, :, 1]
-    px = px + (PATCH - 1) / 2.0
-    py = py + (PATCH - 1) / 2.0
+    pix = jnp.arange(3 * PATCH * PATCH, dtype=jnp.int32)
+    S = jnp.zeros((idx_t.shape[0], 3 * PATCH * PATCH), jnp.float32)
+    for t in range(4):
+        S = S + (jnp.asarray(idx_t[:, t])[:, None] == pix[None, :]) * jnp.asarray(
+            w_t[:, t]
+        )[:, None]
 
     out = jnp.zeros((N, K), jnp.float32)
     valid = jnp.zeros((N,), bool)
@@ -226,25 +268,22 @@ def _sample_pattern(
         corner = jnp.stack(
             [jnp.clip(corner[:, 0], 0, W - PATCH), jnp.clip(corner[:, 1], 0, H - PATCH)], -1
         )
-        # bilinear gather of (px, py) once per blur level ((N, K) each — no
-        # (N, K, P, P) blow-up), then per-point blur-level select
-        x0 = jnp.clip(jnp.floor(px), 0, PATCH - 2).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor(py), 0, PATCH - 2).astype(jnp.int32)
-        fx = jnp.clip(px - x0, 0.0, 1.0)
-        fy = jnp.clip(py - y0, 0.0, 1.0)
-        v = jnp.zeros((N, K), jnp.float32)
         from vloam_tpu.ops.pallas_gather import gather_patches_stack
 
         patches_all = gather_patches_stack(stack, corner, PATCH)  # (3, N, P, P)
-        for b in range(len(BLUR_SIGMAS)):
-            flat = patches_all[b].reshape(N, -1)
-            def at(yi, xi):
-                return jnp.take_along_axis(flat, yi * PATCH + xi, axis=1)
-            vb = (
-                at(y0, x0) * (1 - fx) * (1 - fy) + at(y0, x0 + 1) * fx * (1 - fy)
-                + at(y0 + 1, x0) * (1 - fx) * fy + at(y0 + 1, x0 + 1) * fx * fy
-            )
-            v = jnp.where((lv == b)[None, :], vb, v)
+        flat3 = patches_all.transpose(1, 0, 2, 3).reshape(N, 3 * PATCH * PATCH)
+        sampled = jax.lax.dot_general(
+            flat3.astype(jnp.bfloat16), S.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (N, n_rot*K)
+        if abin is None:
+            v = sampled
+        else:
+            onehot = (
+                jnp.arange(N_ROT, dtype=jnp.int32)[None, :] == abin[:, None]
+            ).astype(jnp.float32)
+            v = jnp.einsum("nb,nbk->nk", onehot, sampled.reshape(N, N_ROT, K))
         sel = kp.octave == o
         out = jnp.where(sel[:, None], v, out)
         valid = jnp.where(sel, inside, valid)
@@ -274,8 +313,9 @@ def brisk_descriptors(
     dI = jnp.take(vals, lj, 1) - jnp.take(vals, li, 1)           # (N, L)
     g = jnp.einsum("nl,lk->nk", dI / jnp.maximum(jnp.sum(dxy ** 2, -1), 1e-9), dxy)
     angle = jnp.arctan2(g[:, 1], g[:, 0])
+    abin = jnp.mod(jnp.round(angle * (N_ROT / (2.0 * jnp.pi))).astype(jnp.int32), N_ROT)
 
-    vals_r, valid_r = _sample_pattern(img, kp, _BRISK_XY, _BRISK_LV, angle)
+    vals_r, valid_r = _sample_pattern(img, kp, _BRISK_XY, _BRISK_LV, abin)
     si, sj = jnp.asarray(_BRISK_SHORT[:, 0]), jnp.asarray(_BRISK_SHORT[:, 1])
     bits = jnp.take(vals_r, si, 1) < jnp.take(vals_r, sj, 1)
     return _pack_bits(bits), valid & valid_r
@@ -294,8 +334,9 @@ def freak_descriptors(
     dI = jnp.take(vals, oi, 1) - jnp.take(vals, oj, 1)
     g = jnp.einsum("nl,lk->nk", dI, dxy)
     angle = jnp.arctan2(g[:, 1], g[:, 0])
+    abin = jnp.mod(jnp.round(angle * (N_ROT / (2.0 * jnp.pi))).astype(jnp.int32), N_ROT)
 
-    vals_r, valid_r = _sample_pattern(img, kp, _FREAK_XY, _FREAK_LV, angle)
+    vals_r, valid_r = _sample_pattern(img, kp, _FREAK_XY, _FREAK_LV, abin)
     di, dj = jnp.asarray(_FREAK_DESC_PAIRS[:, 0]), jnp.asarray(_FREAK_DESC_PAIRS[:, 1])
     bits = jnp.take(vals_r, di, 1) < jnp.take(vals_r, dj, 1)
     return _pack_bits(bits), valid & valid_r

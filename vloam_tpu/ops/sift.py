@@ -204,36 +204,80 @@ def orient(octs, kp: SiftKeypoints) -> SiftKeypoints:
     return kp._replace(angle=angle)
 
 
+def _sift_rot_bank() -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear tap tables of the 36 pre-rotated DESC_GRID^2 sample grids.
+
+    SIFT's orientation is ALREADY the peak of a 36-bin histogram (see
+    orientation()), so snapping the sampling rotation to those same 36 bin
+    centres is exactly lossless — unlike the 2pi/30 quantization trade the
+    ORB/AKAZE/BRISK banks make."""
+    global _SIFT_BANK
+    if _SIFT_BANK is not None:
+        return _SIFT_BANK
+    u = (np.arange(DESC_GRID, dtype=np.float64) + 0.5) / DESC_GRID - 0.5
+    gu, gv = np.meshgrid(u, u, indexing="xy")
+    gu, gv = gu.reshape(-1), gv.reshape(-1)
+    span = PATCH * 0.8
+    idx_all, w_all = [], []
+    for b in range(36):
+        th = (b + 0.5) / 36.0 * 2.0 * np.pi - np.pi   # the orientation() centres
+        c, s = np.cos(th), np.sin(th)
+        px = (c * gu - s * gv) * span + (PATCH - 1) / 2.0
+        py = (s * gu + c * gv) * span + (PATCH - 1) / 2.0
+        x0 = np.clip(np.floor(px), 0, PATCH - 2).astype(np.int64)
+        y0 = np.clip(np.floor(py), 0, PATCH - 2).astype(np.int64)
+        fx = np.clip(px - x0, 0.0, 1.0)
+        fy = np.clip(py - y0, 0.0, 1.0)
+        base = y0 * PATCH + x0
+        idx_all.append(np.stack([base, base + 1, base + PATCH, base + PATCH + 1], -1))
+        w_all.append(
+            np.stack([(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], -1)
+        )
+    _SIFT_BANK = (
+        np.concatenate(idx_all).astype(np.int32),
+        np.concatenate(w_all).astype(np.float32),
+    )
+    return _SIFT_BANK
+
+
+_SIFT_BANK = None
+
+
 def describe(octs, kp: SiftKeypoints) -> tuple[jax.Array, jax.Array]:
     """128-d descriptors: rotated 16x16 gradient samples soft-binned 4x4x8."""
     patches = _gather_patches_multi_octave(octs, kp)
     gx, gy = _patch_grads(patches)
     N = kp.pts.shape[0]
 
-    # rotated sample grid (DESC_GRID^2 positions in patch coords)
+    # rotated sample grid: ONE bf16 MXU matmul against the 36-bin sampling
+    # bank + a one-hot bin select (the per-keypoint bilinear gathers this
+    # replaces ran ~8.5 ns/serial element — most of SIFT's 29 ms frame)
     u = (jnp.arange(DESC_GRID, dtype=jnp.float32) + 0.5) / DESC_GRID - 0.5
     gu, gv = jnp.meshgrid(u, u, indexing="xy")          # (G, G)
-    span = PATCH * 0.8
     c, s = jnp.cos(kp.angle), jnp.sin(kp.angle)
-    px = (c[:, None, None] * gu - s[:, None, None] * gv) * span + (PATCH - 1) / 2.0
-    py = (s[:, None, None] * gu + c[:, None, None] * gv) * span + (PATCH - 1) / 2.0
+    abin = jnp.mod(
+        jnp.round((kp.angle + jnp.pi) / (2.0 * jnp.pi) * 36.0 - 0.5).astype(jnp.int32), 36
+    )
 
-    def bilinear(f, xs, ys):
-        x0 = jnp.clip(jnp.floor(xs), 0, PATCH - 2).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor(ys), 0, PATCH - 2).astype(jnp.int32)
-        fx = jnp.clip(xs - x0, 0.0, 1.0)
-        fy = jnp.clip(ys - y0, 0.0, 1.0)
-        flat = f.reshape(N, -1)
-        def at(yi, xi):
-            return jnp.take_along_axis(flat, (yi * PATCH + xi).reshape(N, -1), axis=1).reshape(xs.shape)
-        v = (
-            at(y0, x0) * (1 - fx) * (1 - fy) + at(y0, x0 + 1) * fx * (1 - fy)
-            + at(y0 + 1, x0) * (1 - fx) * fy + at(y0 + 1, x0 + 1) * fx * fy
-        )
-        return v
-
-    sgx = bilinear(gx, px, py)
-    sgy = bilinear(gy, px, py)
+    idx_t, w_t = _sift_rot_bank()
+    pix = jnp.arange(PATCH * PATCH, dtype=jnp.int32)
+    S = jnp.zeros((idx_t.shape[0], PATCH * PATCH), jnp.float32)
+    for t in range(4):
+        S = S + (jnp.asarray(idx_t[:, t])[:, None] == pix[None, :]) * jnp.asarray(
+            w_t[:, t]
+        )[:, None]
+    feats2 = jnp.stack([gx, gy], axis=0).reshape(2 * N, PATCH * PATCH)
+    all_bins = jax.lax.dot_general(
+        feats2.astype(jnp.bfloat16), S.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(2, N, 36, DESC_GRID * DESC_GRID)
+    onehot = (jnp.arange(36, dtype=jnp.int32)[None, :] == abin[:, None]).astype(
+        jnp.float32
+    )
+    s2 = jnp.einsum("nb,cnbs->cns", onehot, all_bins)
+    sgx = s2[0].reshape(N, DESC_GRID, DESC_GRID)
+    sgy = s2[1].reshape(N, DESC_GRID, DESC_GRID)
     # rotate gradients into the keypoint frame
     rgx = c[:, None, None] * sgx + s[:, None, None] * sgy
     rgy = -s[:, None, None] * sgx + c[:, None, None] * sgy
