@@ -115,6 +115,7 @@ def main() -> None:
         res = run_synthetic(
             cfg, n_frames=args.frames, speed=args.speed, out_dir=args.out,
             verbose=not args.json, lidar_only=args.lidar_only, refine=args.refine,
+            loop_closure=args.loop_closure, keyframe_every=args.keyframe_every,
         )
     else:
         from vloam_tpu.data.kitti import OdometrySequence, RawSequence

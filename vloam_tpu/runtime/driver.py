@@ -368,12 +368,15 @@ def run_synthetic(
     verbose: bool = True,
     lidar_only: bool = False,
     refine: bool = False,
+    loop_closure: bool = False,
+    keyframe_every: int = 10,
 ):
     """Full-pipeline run on the synthetic raycast world.  Returns a dict of
     drift metrics vs the exact trajectory (our replacement for the
     reference's saved-rosbag smoke runs)."""
     ext = fg.kitti_default_extrinsics()
-    driver = VloamDriver(cfg, ext, out_dir, refine=refine)
+    driver = VloamDriver(cfg, ext, out_dir, refine=refine,
+                         loop_closure=loop_closure, keyframe_every=keyframe_every)
     boxes = synthetic.default_scene()
     poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
     K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
