@@ -114,6 +114,43 @@ def main() -> None:
         pose_local = np.asarray(pose_w.addressable_data(0))
         gaps.append(float(np.max(np.abs(pose_local - pose_ref))))
 
+    # ---- FULL coupled step (VO + scan-reg + LO + sharded mapping) over the
+    # same global mesh: the flagship multi-chip program of
+    # parallel/vloam_shard.py, exercised across the process boundary.
+    from vloam_tpu.models import frame_graph as fg
+    from vloam_tpu.models.vloam import init_vloam_state
+    from vloam_tpu.parallel.vloam_shard import _state_specs, make_sharded_vloam_step
+
+    ext = fg.kitti_default_extrinsics()
+    full_cfg = cfg.replace(
+        scan=ScanConfig(ring_cap=128, max_points=8192, less_flat_cap=8192)
+    )
+    full_step = make_sharded_vloam_step(full_cfg, ext, mesh)
+    specs = _state_specs(init_vloam_state(full_cfg), "map")
+    state_shardings = jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs)
+    vstate = jax.jit(
+        lambda: init_vloam_state(full_cfg, n_map_shards=n_global),
+        out_shardings=state_shardings,
+    )()
+    rng = np.random.default_rng(7)
+    n = full_cfg.scan.max_points
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = np.radians(rng.uniform(-24.0, 1.9, n))
+    r = rng.uniform(5.5, 60.0, n)
+    pts = np.stack(
+        [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az), r * np.sin(el)], -1
+    ).astype(np.float32)
+    img = rng.uniform(0, 255, (full_cfg.visual.img_height, full_cfg.visual.img_width)).astype(
+        np.float32
+    )
+    full_ok = True
+    for _ in range(2):
+        vstate, out = full_step(
+            vstate, to_global(img), to_global(pts), to_global(np.ones((n,), bool))
+        )
+        mo = np.asarray(out.mo_pose.addressable_data(0))
+        full_ok = full_ok and bool(np.isfinite(mo).all())
+
     multihost_utils.sync_global_devices("vloam_multihost_done")
     if proc_id == 0:
         # Pose agreement tolerance: the shard-merge reorders float reductions
@@ -122,13 +159,14 @@ def main() -> None:
         # apart by a few mm over frames — same phenomenon and order as the
         # single-process virtual-mesh test (test_parallel_mapping, atol 5e-3).
         result = {
-            "ok": bool(max(gaps) < 1e-2),
+            "ok": bool(max(gaps) < 1e-2) and full_ok,
             "num_processes": num_procs,
             "local_devices": LOCAL_DEVICES,
             "global_devices": n_global,
             "frames": len(frames),
             "max_pose_gap_vs_single_process": max(gaps),
             "per_frame_gap": gaps,
+            "full_coupled_step_ok": full_ok,
         }
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
