@@ -30,3 +30,51 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert frame == 17
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_sharded_map(tmp_path):
+    """Distributed-job resume: snapshot a cube-SHARDED map state, restore,
+    re-place on the mesh, and verify the continued sharded step agrees with
+    an uninterrupted run (resumable multi-chip mapping jobs)."""
+    import jax.numpy as jnp
+
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.models.laser_mapping import init_map_state
+    from vloam_tpu.models.lidar_odometry import init_lo_state, lo_step
+    from vloam_tpu.ops.scan_registration import extract_features
+    from vloam_tpu.parallel.mapping_shard import make_sharded_step
+    from vloam_tpu.parallel.mesh import map_mesh, shard_map_state
+
+    n_dev = len(jax.devices())
+    mesh = map_mesh(n_dev)
+    step = make_sharded_step(CFG, mesh)
+
+    scene = synthetic.default_scene()
+    lo = init_lo_state(CFG)
+    frames = []
+    for i, (R, t) in enumerate(synthetic.straight_trajectory(3, speed=0.8)):
+        pts = synthetic.simulate_scan(R, t, scene, n_azimuth=300, noise=0.005, seed=i)
+        p, m = synthetic.pad_cloud(pts, CFG.scan.max_points)
+        feats = extract_features(jnp.array(p), jnp.array(m), CFG.scan)
+        lo, _, wodom, _ = lo_step(lo, feats, CFG)
+        frames.append((feats, wodom))
+
+    def feed(mp, fr):
+        feats, wodom = fr
+        return step(mp, feats.less_sharp, feats.less_sharp_mask,
+                    feats.less_flat, feats.less_flat_mask, wodom)
+
+    mp = shard_map_state(init_map_state(CFG, n_shards=n_dev), mesh)
+    mp, _ = feed(mp, frames[0])
+    mp, _ = feed(mp, frames[1])
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, mp, 2)                     # gathers to host
+    mp_cont, pose_cont = feed(mp, frames[2])         # uninterrupted
+
+    template = init_map_state(CFG, n_shards=n_dev)
+    restored, frame = load_checkpoint(path, template)
+    assert frame == 2
+    mp_res = shard_map_state(restored, mesh)         # re-place on the mesh
+    assert mp_res.cube_pts.sharding.is_fully_replicated is False
+    _, pose_res = feed(mp_res, frames[2])
+    np.testing.assert_allclose(np.asarray(pose_res), np.asarray(pose_cont), atol=1e-6)

@@ -13,8 +13,9 @@ TPU formulation:
     FREAK's retinal pattern (43 overlapping fields) reduce to the same
     machinery — slice one patch per keypoint at its octave, pre-blur the
     octave at 3 smoothing levels (coarse stand-in for per-point Gaussian
-    radii), bilinear-gather all pattern points at once, compare fixed pair
-    lists, pack bits into uint32 lanes;
+    radii), resample all pattern points with ONE bf16 MXU matmul against a
+    bank of pre-rotated bilinear taps (2pi/30 rotation bins — see
+    _sample_pattern), compare fixed pair lists, pack bits into uint32 lanes;
   * orientation: BRISK's long-pair gradient estimate / FREAK's symmetric-pair
     gradient, both one masked einsum over the sampled intensities.
 

@@ -12,8 +12,9 @@ TPU formulation — everything fixed-shape, batched over keypoints:
   * per-octave ``approx_max_k`` keeps a fixed keypoint budget, merged across
     octaves with octave-id bookkeeping;
   * orientation + descriptor sample a rotated 16x16 gradient grid with the
-    interpolation-matmul machinery (one gather + small einsums per octave)
-    and soft-bin into the classic 4x4x8 histogram as one einsum.
+    36-bin pre-rotated sampling bank (one bf16 MXU matmul + one-hot select;
+    exactly lossless because the orientation is already a 36-bin histogram
+    peak) and soft-bin into the classic 4x4x8 histogram as one einsum.
 
 Simplifications vs OpenCV (documented, not silent): no 2x initial
 upsampling, no subpixel (quadratic) extremum refinement, single dominant

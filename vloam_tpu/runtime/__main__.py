@@ -67,6 +67,9 @@ def main() -> None:
     p.add_argument("--line-res", type=float, default=None, help="mapping_line_resolution")
     p.add_argument("--plane-res", type=float, default=None, help="mapping_plane_resolution")
     p.add_argument("--mapping-skip-frame", type=int, default=None)
+    p.add_argument("--distortion", action="store_true",
+                   help="per-point slerp motion compensation in LO "
+                        "(TransformToStart/End; off for pre-synced KITTI)")
     p.add_argument("--verbose-level", type=int, default=1, help="loam_verbose_level")
     p.add_argument("--debug-dir", default=None,
                    help="dump keypoint/flow/depth debug PNGs here (replaces the "
@@ -106,6 +109,8 @@ def main() -> None:
         map_kw["plane_resolution"] = args.plane_res
     if args.mapping_skip_frame is not None:
         map_kw["skip_frame"] = args.mapping_skip_frame
+    if args.distortion:
+        cfg = cfg.replace(odom=dataclasses.replace(cfg.odom, distortion=True))
     if map_kw:
         cfg = cfg.replace(mapping=dataclasses.replace(cfg.mapping, **map_kw))
 
