@@ -27,9 +27,10 @@ N_WARMUP = 4
 N_TIMED = 100
 
 
-def _gen_frames(cfg, ext):
+def _gen_frames(cfg, ext, n_frames=None, speed=0.8, yaw_rate=0.005, snake=False):
     """Host-side frame stream (not timed): raycast scans + blob images +
-    host-gridded lidar layouts, exactly what the production prefetcher feeds."""
+    host-gridded lidar layouts, exactly what the production prefetcher feeds.
+    Also used by tools/validate_drive.py for longer runs."""
     import jax.numpy as jnp
 
     from vloam_tpu.data import synthetic
@@ -38,7 +39,15 @@ def _gen_frames(cfg, ext):
 
     vc = cfg.visual
     boxes = synthetic.default_scene()
-    poses = synthetic.straight_trajectory(N_WARMUP + N_TIMED, speed=0.8, yaw_rate=0.005)
+    if n_frames is None:
+        n_frames = N_WARMUP + N_TIMED
+    if snake:
+        # long drives: weave along the street so the scan always sees
+        # structure (a constant yaw rate curves off the scene after ~100
+        # frames, degenerating LO to ground-only)
+        poses = synthetic.snake_trajectory(n_frames, speed=speed, yaw_amp=yaw_rate)
+    else:
+        poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
     K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
     proj = np.asarray(ext.P_rect0 @ ext.R_rect0 @ ext.cam_T_velo)
     rng = np.random.default_rng(11)
@@ -73,7 +82,7 @@ def _gen_frames(cfg, ext):
         sg, bs, nr = less_flat_voxel_table(grid, gmask, cfg.scan)
         lf = (jnp.array(sg), jnp.array(bs), jnp.array(nr, np.int32))
         frames.append((jnp.array(img), jnp.array(grid), jnp.array(gmask), buckets, lf))
-    return frames
+    return frames, poses
 
 
 def main() -> None:
@@ -85,7 +94,7 @@ def main() -> None:
 
     cfg = kitti_hdl64()
     ext = fg.kitti_default_extrinsics()
-    frames = _gen_frames(cfg, ext)
+    frames, _ = _gen_frames(cfg, ext)
 
     # donated state => in-place cube-map updates (no per-frame copy)
     step = jax.jit(

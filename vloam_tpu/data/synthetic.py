@@ -184,6 +184,25 @@ def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.0
     return poses
 
 
+def snake_trajectory(
+    n_frames: int, speed: float = 1.0, yaw_amp: float = 0.004, period: int = 100
+):
+    """Sensor poses weaving along +x: yaw rate oscillates sinusoidally so the
+    heading swings +-(yaw_amp*period/pi) rad but the path keeps following the
+    street corridor — long drives stay inside the scene (a constant yaw rate
+    curves off it after ~100 frames)."""
+    poses = []
+    yaw = 0.0
+    t = np.zeros(3)
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        poses.append((R.copy(), t.copy()))
+        t = t + R @ np.array([speed, 0.0, 0.0])
+        yaw += yaw_amp * np.sin(2.0 * np.pi * i / period)
+    return poses
+
+
 def scatter_texture_points(n: int = 800, seed: int = 7) -> np.ndarray:
     """World-frame 3D texture points for camera simulation (on a rough street
     corridor in front of the origin, depths 5-60 m)."""
