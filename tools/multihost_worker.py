@@ -119,14 +119,14 @@ def main() -> None:
     # parallel/vloam_shard.py, exercised across the process boundary.
     from vloam_tpu.models import frame_graph as fg
     from vloam_tpu.models.vloam import init_vloam_state
-    from vloam_tpu.parallel.vloam_shard import _state_specs, make_sharded_vloam_step
+    from vloam_tpu.parallel.vloam_shard import make_sharded_vloam_step, state_partition_specs
 
     ext = fg.kitti_default_extrinsics()
     full_cfg = cfg.replace(
         scan=ScanConfig(ring_cap=128, max_points=8192, less_flat_cap=8192)
     )
     full_step = make_sharded_vloam_step(full_cfg, ext, mesh)
-    specs = _state_specs(init_vloam_state(full_cfg), "map")
+    specs = state_partition_specs(init_vloam_state(full_cfg))
     state_shardings = jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs)
     vstate = jax.jit(
         lambda: init_vloam_state(full_cfg, n_map_shards=n_global),

@@ -36,6 +36,13 @@ def shard_vloam_state(state: VloamState, mesh: Mesh, axis: str = "map") -> Vloam
     return rest._replace(mp=mp)
 
 
+def state_partition_specs(state: VloamState, axis: str = "map"):
+    """PartitionSpec pytree for a VloamState: cube-slot arrays on ``axis``,
+    everything else replicated.  Used for jit out_shardings when
+    materializing sharded state on a (possibly multi-host) mesh."""
+    return _state_specs(state, axis)
+
+
 def _state_specs(state: VloamState, axis: str):
     cube = P(axis)
     rep = P()
