@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--speed", type=float, default=0.9)
     ap.add_argument("--yaw-rate", type=float, default=0.004)
     ap.add_argument("--out", default="VALIDATION_r03.json")
+    ap.add_argument("--couple", action="store_true",
+                    help="coupled VLOAM mode (detach_VO_LO=false)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +51,8 @@ def main() -> None:
     from vloam_tpu.utils import kitti_eval
 
     cfg = kitti_hdl64()
+    if args.couple:
+        cfg = cfg.replace(detach_vo_lo=False)
     ext = fg.kitti_default_extrinsics()
     t_gen0 = time.perf_counter()
     frames, poses = _gen_frames(
@@ -96,7 +100,9 @@ def main() -> None:
         np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
     )
     final_err = float(np.linalg.norm(est[-1, :3, 3] - gt[-1, :3, 3]))
+    mode = "coupled_C" if args.couple else "decoupled_D"
     result = {
+        "mode": mode,
         "frames": len(frames),
         "path_len_m": round(path_len, 1),
         "mo_trans_pct": round(res["trans_pct"], 4),
@@ -113,8 +119,16 @@ def main() -> None:
             "Reference Table-I MO(C) avg: 1.26 % / 0.0055 deg/m."
         ),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", args.out), "w") as fp:
-        json.dump(result, fp, indent=1)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", args.out)
+    record = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fp:
+            prev = json.load(fp)
+        # either already keyed by mode, or a bare single-mode record
+        record = {prev["mode"]: prev} if "mode" in prev else prev
+    record[mode] = result
+    with open(out_path, "w") as fp:
+        json.dump(record, fp, indent=1)
     print(json.dumps(result))
 
 
