@@ -149,6 +149,11 @@ class VisualConfig:
     klt_eps: float = 0.03
     klt_min_eig: float = 1e-4
     klt_fb_check: bool = True         # forward-backward track validation (ours; ref has none)
+    klt_fb_iters: int = 4             # backward-pass GN iterations: the check
+                                      # STARTS at the expected return point
+                                      # (fb_err = drift from it), so it only
+                                      # confirms/refutes — 4 iters suffice
+                                      # where the forward solve needs 10
     klt_fb_threshold: float = 1.0     # max forward-backward return error (px)
     klt_max_err: float = 12.0         # max mean |I1-I0| over the converged window
                                       # (photometric gate; catches textureless windows

@@ -310,6 +310,7 @@ def _gn_iterations(
     gate: jax.Array,         # (N,) features allowed to move
     cfg: VisualConfig,
     P: int,
+    n_iters: int | None = None,
 ) -> jax.Array:
     """The unrolled LK GN loop (see _lk_level comments): cv's EPS criterion
     becomes a per-feature freeze mask; converged features take zero steps."""
@@ -331,7 +332,7 @@ def _gn_iterations(
     n = flow.shape[0]
     (flow, _), _ = jax.lax.scan(
         iter_body, (flow, jnp.ones((n,), bool)), None,
-        length=cfg.klt_iters, unroll=True,
+        length=cfg.klt_iters if n_iters is None else n_iters, unroll=True,
     )
     return flow
 
@@ -497,7 +498,7 @@ def _lk_level_fb(
     # the original feature position (taps xs0/ys0), so fb_err = |flow_b|^2.
     flow_b = _gn_iterations(
         Tp, T_b, Ixb, Iyb, b00, b01, b11, xs0, ys0,
-        jnp.zeros_like(flow), ok_b & status, cfg, P,
+        jnp.zeros_like(flow), ok_b & status, cfg, P, n_iters=cfg.klt_fb_iters,
     )
     fb_err = jnp.sum(flow_b**2, axis=-1)
     return flow, status & ok_b, err, fb_err
