@@ -5,8 +5,14 @@ mapping at >=2 hosts.  Weak scaling here means: per-shard work constant —
 each shard owns a constant slice of the cube map and runs NN association
 against a constant-size local candidate window, so total map capacity grows
 linearly with the shard count while step time should stay flat.  The only
-cross-shard traffic is the (S, M, k, 4) neighbour merge all_gather, whose
-per-shard payload is constant.
+cross-shard traffic is the neighbour top-k merge: a butterfly ppermute
+all-reduce whose per-device payload grows as O(log2 S) (power-of-two
+meshes; see parallel/mapping_shard._merge_topk), not the O(S) of a flat
+all_gather.  This harness reports the MEASURED per-device merge payload
+bytes per frame at each S (merge_payload_bytes) alongside step times, and
+an analytic efficiency projection from the real S=1 anchor — virtual-mesh
+step times at S>2 are oversubscription-dominated on small CPU boxes and
+indicative only.
 
 Run on real multi-device hardware as-is; on a single-chip/CPU box it
 executes on a virtual host-platform mesh (set by --virtual, default 8) —
@@ -63,7 +69,9 @@ def main() -> None:
     from vloam_tpu import geometry as geo
     from vloam_tpu.config import kitti_hdl64
     from vloam_tpu.models.laser_mapping import init_map_state
-    from vloam_tpu.parallel.mapping_shard import make_sharded_step
+    from vloam_tpu.parallel.mapping_shard import (
+        make_sharded_step, map_state_specs, merge_payload_bytes,
+    )
 
     devices = jax.devices()
     # Single real chip: still measure S=1 (the real-hardware anchor point for
@@ -92,6 +100,7 @@ def main() -> None:
 
     shard_counts = [s for s in (1, 2, 4, 8) if s <= len(devices)]
     times = {}
+    payloads = {}
     for S in shard_counts:
         # weak scaling: the map GROWS with the fleet (grid_w x S) so every
         # shard owns a constant cube slice; per-frame scan work is constant
@@ -101,15 +110,11 @@ def main() -> None:
             cfg.mapping, grid_w=cfg.mapping.grid_w * S))
         mesh = Mesh(np.array(devices[:S]), ("map",))
         step = make_sharded_step(cfg_s, mesh)
-        state = init_map_state(cfg_s, n_shards=S)
-        spec_cube = NamedSharding(mesh, P("map"))
-        spec_rep = NamedSharding(mesh, P())
-        state = jax.tree.map(
-            lambda x: jax.device_put(
-                x, spec_cube if x.ndim and x.shape[0] == state.cube_pts.shape[0] else spec_rep
-            ),
-            state,
+        state = init_map_state(cfg_s, n_shards=S, sharded=True)
+        shardings = jax.tree.map(
+            lambda sp: NamedSharding(mesh, sp), map_state_specs("map")
         )
+        state = jax.tree.map(jax.device_put, state, shardings)
         # bootstrap: two steps populate cubes + compile
         state, _ = step(state, corner_in, cmask, surf_in, smask, pose)
         state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
@@ -120,10 +125,19 @@ def main() -> None:
         np.asarray(pw)
         dt = (time.perf_counter() - t0) / args.steps * 1e3
         times[S] = dt
+        # Per-device collective bytes received per frame: one merge per
+        # feature type per outer iteration (mapping_shard.optimize).
+        mc = cfg_s.mapping
+        payload = mc.outer_iters * (
+            merge_payload_bytes(S, mc.corner_stack_cap, mc.n_neighbors)
+            + merge_payload_bytes(S, mc.surf_stack_cap, mc.n_neighbors)
+        )
+        payloads[S] = payload
         print(json.dumps({
             "metric": f"mapping_sharded_step_ms_S{S}", "value": round(dt, 3),
             "unit": "ms",
             "map_capacity_pts": int(state.cube_pts.shape[0]) * int(state.cube_pts.shape[1]),
+            "merge_payload_bytes_per_frame": payload,
         }))
 
     base = times[shard_counts[0]]
@@ -135,6 +149,31 @@ def main() -> None:
             "metric": f"mapping_weak_scaling_eff_S{S}", "value": round(eff, 3),
             "unit": "ratio", "vs_baseline": round(eff / 0.70, 3),
         }))
+
+    # Analytic projection from the measured S=1 anchor: real multi-chip
+    # cannot run in this environment, so project step(S) = t1 + merge
+    # payload / effective per-device ICI bandwidth + per-round latency.
+    # v5e ICI: ~186 GB/s/link peak; assume 45 GB/s effective all-reduce
+    # goodput (conservative: ring/butterfly protocol + small-message
+    # overhead) and 5 us launch latency per ppermute round.
+    ICI_BW = 45e9
+    LAT_S = 5e-6
+    proj = {}
+    for S in (2, 4, 8, 16, 32):
+        pay = cfg.mapping.outer_iters * (
+            merge_payload_bytes(S, cfg.mapping.corner_stack_cap, cfg.mapping.n_neighbors)
+            + merge_payload_bytes(S, cfg.mapping.surf_stack_cap, cfg.mapping.n_neighbors)
+        )
+        rounds = 2 * cfg.mapping.outer_iters * max(S.bit_length() - 1, 1)
+        t_coll_ms = (pay / ICI_BW + rounds * LAT_S) * 1e3
+        proj[S] = {
+            "payload_bytes": pay,
+            "t_collective_ms": round(t_coll_ms, 4),
+            "projected_eff": round(base / (base + t_coll_ms), 3),
+        }
+    print(json.dumps({"metric": "analytic_projection_from_S1_anchor",
+                      "anchor_ms": round(base, 3), "assumed_ici_GBps": 45,
+                      "projection": proj}))
 
     if args.out:
         path = args.out
@@ -158,6 +197,12 @@ def main() -> None:
             "tiny_config": bool(args.tiny),
             "step_ms": {str(s): round(t, 3) for s, t in times.items()},
             "weak_scaling_efficiency": {str(s): round(e, 3) for s, e in effs.items()},
+            "merge_payload_bytes_per_frame": {str(s): p for s, p in payloads.items()},
+            "analytic_projection_from_S1_anchor": {
+                "anchor_ms": round(base, 3), "assumed_ici_GBps": 45,
+                "per_round_latency_us": 5,
+                "projection": proj,
+            },
         }
         with open(path, "w") as f:
             json.dump(record, f, indent=1)

@@ -90,12 +90,10 @@ def main() -> None:
 
     # global sharded run: state materialized ON the global mesh by jit
     step = make_sharded_step(cfg, mesh)
-    cube = NamedSharding(mesh, P("map"))
-    template = init_map_state(cfg, n_shards=n_global)
-    shardings = type(template)(
-        cube_pts=cube, corner_cnt=cube, surf_cnt=cube, cube_coord=cube,
-        pose_map=rep, wmap_wodom=rep, initialized=rep,
-        sub_c=rep, sub_c_n=rep, sub_s=rep, sub_s_n=rep, sub_center=rep,
+    from vloam_tpu.parallel.mapping_shard import map_state_specs
+
+    shardings = jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), map_state_specs("map")
     )
     mp = jax.jit(
         lambda: init_map_state(cfg, n_shards=n_global), out_shardings=shardings

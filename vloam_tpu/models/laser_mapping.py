@@ -64,13 +64,31 @@ def n_cubes(cfg: VloamConfig) -> int:
     return mc.grid_w * mc.grid_h * mc.grid_d
 
 
-def init_map_state(cfg: VloamConfig, n_shards: int = 1) -> MapState:
+def init_map_state(cfg: VloamConfig, n_shards: int = 1, sharded: bool | None = None) -> MapState:
     """``n_shards > 1`` pads the slot axis to a multiple of the shard count so
     the cube arrays partition evenly across a mesh axis (pad slots hold the
-    never-matching sentinel coord and are never addressed)."""
+    never-matching sentinel coord and are never addressed).  The submap-cache
+    arrays also scale with the shard count — each shard caches its own
+    compacted window slice (parallel/mapping_shard.py), so sub_c/sub_s grow
+    to (n_shards * cap, 4) and the scalar valid-prefix counts become
+    (n_shards,) vectors, all partitioned on the same mesh axis.  Pass
+    ``sharded=True`` to force the vector cache layout at n_shards=1 (a
+    1-device mesh running the sharded twin, e.g. the scaling bench anchor)."""
     mc = cfg.mapping
     nc = n_cubes(cfg)
     nc = -(-nc // n_shards) * n_shards
+    if sharded is None:
+        sharded = n_shards > 1
+    if sharded:
+        sub_c = jnp.zeros((n_shards * mc.submap_corner_cap, 4), jnp.float32)
+        sub_c_n = jnp.zeros((n_shards,), jnp.int32)
+        sub_s = jnp.zeros((n_shards * mc.submap_surf_cap, 4), jnp.float32)
+        sub_s_n = jnp.zeros((n_shards,), jnp.int32)
+    else:
+        sub_c = jnp.zeros((mc.submap_corner_cap, 4), jnp.float32)
+        sub_c_n = jnp.array(0, jnp.int32)
+        sub_s = jnp.zeros((mc.submap_surf_cap, 4), jnp.float32)
+        sub_s_n = jnp.array(0, jnp.int32)
     return MapState(
         cube_pts=jnp.zeros((nc, mc.corner_cube_cap + mc.surf_cube_cap, 4), jnp.float32),
         corner_cnt=jnp.zeros((nc,), jnp.int32),
@@ -79,10 +97,7 @@ def init_map_state(cfg: VloamConfig, n_shards: int = 1) -> MapState:
         pose_map=geo.pose_identity(),
         wmap_wodom=geo.pose_identity(),
         initialized=jnp.array(False),
-        sub_c=jnp.zeros((mc.submap_corner_cap, 4), jnp.float32),
-        sub_c_n=jnp.array(0, jnp.int32),
-        sub_s=jnp.zeros((mc.submap_surf_cap, 4), jnp.float32),
-        sub_s_n=jnp.array(0, jnp.int32),
+        sub_c=sub_c, sub_c_n=sub_c_n, sub_s=sub_s, sub_s_n=sub_s_n,
         sub_center=jnp.full((3,), jnp.iinfo(jnp.int32).min, jnp.int32),
     )
 

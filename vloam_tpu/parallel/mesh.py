@@ -41,15 +41,16 @@ def map_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-_CUBE_FIELDS = ("cube_pts", "corner_cnt", "surf_cnt", "cube_coord")
-
-
 def shard_map_state(state, mesh: Mesh, axis: str = "map"):
-    """Place a MapState with cube-slot arrays sharded along the slot axis and
-    everything else (poses, flags, the single-device submap cache) replicated."""
+    """Place a MapState with cube-slot arrays AND the per-shard submap-cache
+    arrays sharded along the mesh axis; poses/flags replicated.  Expects a
+    state built with ``init_map_state(cfg, n_shards=S)`` (cache arrays sized
+    S x per-shard capacity)."""
+    from vloam_tpu.parallel.mapping_shard import MAP_SHARDED_FIELDS
+
     cube = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     leaves = []
     for name, leaf in zip(state._fields, state):
-        leaves.append(jax.device_put(leaf, cube if name in _CUBE_FIELDS else rep))
+        leaves.append(jax.device_put(leaf, cube if name in MAP_SHARDED_FIELDS else rep))
     return type(state)(*leaves)

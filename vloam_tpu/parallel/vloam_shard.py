@@ -22,17 +22,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vloam_tpu.config import VloamConfig
 from vloam_tpu.models import frame_graph as fg
 from vloam_tpu.models.vloam import VloamState, vloam_step
-from vloam_tpu.parallel.mapping_shard import sharded_mapping_step
+from vloam_tpu.parallel.mapping_shard import map_state_specs, sharded_mapping_step
 from vloam_tpu.parallel.mesh import shard_map_state
-
-_CUBE_FIELDS = ("cube_pts", "corner_cnt", "surf_cnt", "cube_coord")
 
 
 def shard_vloam_state(state: VloamState, mesh: Mesh, axis: str = "map") -> VloamState:
-    """Place a VloamState: cube-slot arrays sharded, everything else replicated."""
+    """Place a VloamState: cube-slot + cache arrays sharded, rest replicated.
+
+    The mp subtree (by far the largest arrays in the program) is excluded
+    from the replicated device_put so no device ever transiently holds a
+    full copy of the cube map."""
     rep = NamedSharding(mesh, P())
     mp = shard_map_state(state.mp, mesh, axis)
-    rest = jax.tree.map(lambda x: jax.device_put(x, rep), state._replace(mp=state.mp))
+    rest = jax.tree.map(lambda x: jax.device_put(x, rep), state._replace(mp=None))
     return rest._replace(mp=mp)
 
 
@@ -44,14 +46,9 @@ def state_partition_specs(state: VloamState, axis: str = "map"):
 
 
 def _state_specs(state: VloamState, axis: str):
-    cube = P(axis)
     rep = P()
-    mp_specs = jax.tree.map(lambda _: rep, state.mp)
-    mp_specs = mp_specs._replace(
-        **{f: cube for f in _CUBE_FIELDS}
-    )
     specs = jax.tree.map(lambda _: rep, state)
-    return specs._replace(mp=mp_specs)
+    return specs._replace(mp=map_state_specs(axis))
 
 
 def make_sharded_vloam_step(cfg: VloamConfig, ext: fg.Extrinsics, mesh: Mesh, axis: str = "map"):
