@@ -6,9 +6,16 @@ per-keypoint depth queries with an inverse-distance-weighted 3-NN over the
 5x5 bucket neighbourhood, requiring >= 10 occupied neighbours (:381-487).
 
 TPU formulation: projection is one (N, 4) x (4, 3) matmul; bucketing is a
-segment mean (exact mean — the reference's incremental form at :292-299 is
-an approximation of the same); queries are vmapped gathers over a static
-5x5 neighbourhood.
+segment mean (exact mean — the reference's incremental form at :292-299
+divides by the pre-increment count, i.e. forgets a bucket's first hit once
+a second arrives); queries are vmapped gathers over a static 5x5
+neighbourhood.
+
+Measured parity vs the sequential oracle (tests/test_vo_oracle_parity.py):
+query semantics are exact (<= 1e-5 m on identical buckets, 100% valid/
+invalid decision agreement); the full-path depth gap vs the reference's
+forgetful bucket mean is ~0.07 m mean / 0.34 m p95, concentrated at depth
+discontinuities, and flips zero 3D-2D/2D-2D branch decisions.
 """
 
 from __future__ import annotations
