@@ -50,6 +50,43 @@ def test_detect_revisits_gates():
     assert k - j >= 20 and np.linalg.norm(loop[k] - loop[j]) < 1.5
 
 
+def test_detect_revisits_travel_gate():
+    """Stopped segment: keyframes far apart in INDEX but ~0 m apart in PATH
+    must not register as revisits (they are the same place, not a loop)."""
+    # drive 10 m, then sit still for 30 keyframes
+    moving = np.stack([np.arange(10.0), np.zeros(10), np.zeros(10)], -1)
+    stopped = np.repeat(moving[-1:], 30, axis=0) + np.random.default_rng(0).normal(
+        scale=0.05, size=(30, 3)
+    )
+    pos = np.concatenate([moving, stopped])
+    # index-gap-only gate fires spuriously on the parked segment...
+    assert detect_revisits(pos, min_gap=5, radius=3.0, min_spacing=2) != []
+    # ...the travel gate does not
+    assert detect_revisits(
+        pos, min_gap=5, radius=3.0, min_spacing=2, min_travel=15.0
+    ) == []
+
+
+def test_detect_revisits_drift_scaled_radius():
+    """A true revisit whose estimate has drifted past the fixed gate is
+    still detected when the gate grows with traveled path."""
+    n = 80
+    th = np.linspace(0, 2 * np.pi, n)
+    r = 100.0
+    circle = np.stack([r * np.sin(th), r * (1 - np.cos(th)), np.zeros(n)], -1)
+    # simulated 2% drift: the endpoint lands 12 m from the start
+    drift = np.linspace(0, 1, n)[:, None] ** 2 * np.array([8.0, 9.0, 0.0])
+    est = circle + drift
+    fixed = detect_revisits(est, min_gap=40, radius=6.0, min_spacing=5,
+                            min_travel=100.0)
+    scaled = detect_revisits(est, min_gap=40, radius=6.0, min_spacing=5,
+                             min_travel=100.0, drift_rate=0.02)
+    assert fixed == []            # 12 m gap > 6 m fixed gate: missed
+    assert scaled != []           # 6 + 0.02*~600 m of path covers the drift
+    j, k = scaled[-1]
+    assert j <= 5 and k >= n - 10, (j, k)
+
+
 @pytest.mark.slow
 def test_loop_closure_closes_drift_on_loop_course():
     n = 56

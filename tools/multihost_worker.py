@@ -116,7 +116,7 @@ def main() -> None:
     # same global mesh: the flagship multi-chip program of
     # parallel/vloam_shard.py, exercised across the process boundary.
     from vloam_tpu.models import frame_graph as fg
-    from vloam_tpu.models.vloam import init_vloam_state
+    from vloam_tpu.models.vloam import init_vloam_state, vloam_step
     from vloam_tpu.parallel.vloam_shard import make_sharded_vloam_step, state_partition_specs
 
     ext = fg.kitti_default_extrinsics()
@@ -141,13 +141,22 @@ def main() -> None:
     img = rng.uniform(0, 255, (full_cfg.visual.img_height, full_cfg.visual.img_width)).astype(
         np.float32
     )
-    full_ok = True
+    # process-local single-device reference over the SAME frames: the full
+    # coupled step's cross-process agreement is a comparison, not just an
+    # executes-without-NaN assertion (round-3 weak #7).
+    ref_vstate = init_vloam_state(full_cfg)
+    ref_step = jax.jit(lambda s, i, c, m: vloam_step(s, i, c, m, ext, full_cfg))
+    full_gaps = []
     for _ in range(2):
         vstate, out = full_step(
             vstate, to_global(img), to_global(pts), to_global(np.ones((n,), bool))
         )
+        ref_vstate, ref_out = ref_step(
+            ref_vstate, jnp.array(img), jnp.array(pts), jnp.ones((n,), bool)
+        )
         mo = np.asarray(out.mo_pose.addressable_data(0))
-        full_ok = full_ok and bool(np.isfinite(mo).all())
+        full_gaps.append(float(np.max(np.abs(mo - np.asarray(ref_out.mo_pose)))))
+    full_ok = bool(np.isfinite(full_gaps).all()) and max(full_gaps) < 1e-2
 
     multihost_utils.sync_global_devices("vloam_multihost_done")
     if proc_id == 0:
@@ -165,6 +174,7 @@ def main() -> None:
             "max_pose_gap_vs_single_process": max(gaps),
             "per_frame_gap": gaps,
             "full_coupled_step_ok": full_ok,
+            "full_coupled_max_pose_gap_vs_single_device": max(full_gaps),
         }
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)

@@ -1,0 +1,202 @@
+"""Coupling-mode stress scenarios: worlds where the (C)/(D) switch matters.
+
+The reference's Table-I (BASELINE.md) shows coupled VLOAM (C) beating
+decoupled (D) on 9/10 KITTI sequences and failing catastrophically on the
+highway seq 01 (45.36 % vs 2.72 %).  Both behaviors have a mechanism:
+
+* ``corridor``  — lidar-DEGENERATE geometry (smooth parallel walls + ground,
+  every surface normal ⊥ the driving direction): LO alone cannot observe
+  forward motion, so the decoupled warm start (laser_odometry.cpp:237-250
+  comments; previous-delta seed) never picks up speed, while the coupled
+  VO seed supplies the unobservable component from wall texture.
+  Coupled (C) must WIN here.
+
+* ``highway``   — sparse structure + a lead vehicle followed at constant
+  gap: camera features concentrate on the truck (zero apparent motion,
+  lidar-backed depth), so VO's 3D-2D residuals lock to the truck-relative
+  frame and the seed collapses toward identity.  LO's Huber loss then
+  keeps whichever association basin the seed selects: decoupled's
+  constant-velocity warm start rejects the truck points as outliers
+  (residual ≈ v ≫ 0.1 m) and tracks the static world; the coupled seed
+  makes the truck points the inliers and the static posts the outliers.
+  Coupled (C) must DEGRADE here — the seq-01 signature.
+
+Worlds are built from the same raycast primitives as data/synthetic.py;
+NumPy on host (data generation, not engine code).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vloam_tpu.data import synthetic
+
+
+# ---------------------------------------------------------------------------
+# corridor: lidar-degenerate, camera-observable
+# ---------------------------------------------------------------------------
+
+def corridor_scene(length: float = 300.0, half_width: float = 7.0) -> np.ndarray:
+    """Two smooth walls along +x plus the implicit ground plane.  Every
+    surface is translation-invariant along x: LO's point-to-plane and
+    point-to-line residuals have a null direction along the corridor."""
+    w = 1.2
+    return np.array(
+        [
+            [-40.0, half_width, -1.7, length + 60.0, half_width + w, 4.0],
+            [-40.0, -half_width - w, -1.7, length + 60.0, -half_width, 4.0],
+        ],
+        np.float64,
+    )
+
+
+def corridor_texture(
+    length: float = 300.0, half_width: float = 7.0, spacing: float = 0.45,
+    seed: int = 3,
+) -> np.ndarray:
+    """World-frame blob anchors ON the inner wall faces (posters/stains):
+    camera-trackable texture whose lidar depth the walls themselves supply."""
+    rng = np.random.default_rng(seed)
+    xs = np.arange(-20.0, length + 40.0, spacing)
+    pts = []
+    for side in (+1.0, -1.0):
+        x = xs + rng.uniform(-0.15, 0.15, len(xs))
+        y = np.full_like(x, side * (half_width - 0.02))
+        z = rng.uniform(-1.2, 3.6, len(xs))
+        pts.append(np.stack([x, y, z], -1))
+    return np.concatenate(pts)
+
+
+# ---------------------------------------------------------------------------
+# highway: dynamic lead vehicle + sparse structure
+# ---------------------------------------------------------------------------
+
+def highway_static_scene(length: float = 400.0) -> np.ndarray:
+    """Ground + low guardrails (x-invariant) + dense on-ramp poles for the
+    first 30 m (so decoupled LO can lock onto the true velocity before the
+    structure thins out) + rare posts afterwards."""
+    boxes = [
+        # guardrails: long, low, x-invariant
+        [-40.0, 5.8, -1.7, length + 60.0, 6.2, -0.7],
+        [-40.0, -6.2, -1.7, length + 60.0, -5.8, -0.7],
+    ]
+    rng = np.random.default_rng(9)
+    # on-ramp poles: every 4 m, both sides, x in [-10, 30]
+    for x in np.arange(-10.0, 30.0, 4.0):
+        for side in (1.0, -1.0):
+            xo = x + rng.uniform(-0.5, 0.5)
+            boxes.append([xo, side * 6.8, -1.7, xo + 0.3, side * 6.8 + 0.3, 3.2])
+    # sparse posts afterwards: every 80 m
+    for x in np.arange(90.0, length + 40.0, 80.0):
+        for side in (1.0, -1.0):
+            boxes.append([x, side * 7.0, -1.7, x + 0.35, side * 7.0 + 0.35, 4.5])
+    return np.array(boxes, np.float64)
+
+
+def truck_box(x_rear: float) -> np.ndarray:
+    """Lead-vehicle box: rear face (normal -x) at ``x_rear``, 2.8 m wide,
+    2.9 m tall — lidar-visible, so its camera features get real depth."""
+    return np.array([[x_rear, -1.4, -1.7, x_rear + 4.5, 1.4, 1.2]], np.float64)
+
+
+def truck_texture(x_rear: float, seed: int = 4) -> np.ndarray:
+    """Blob anchors on the truck's rear face (lights, logos, dirt)."""
+    rng = np.random.default_rng(seed)  # same pattern every frame: it RIDES the truck
+    y = rng.uniform(-1.3, 1.3, 60)
+    z = rng.uniform(-1.4, 1.0, 60)
+    return np.stack([np.full_like(y, x_rear - 0.02), y, z], -1)
+
+
+def highway_static_texture(length: float = 400.0) -> np.ndarray:
+    """Sparse static texture: marks on guardrail tops + the posts."""
+    rng = np.random.default_rng(6)
+    xs = np.arange(-10.0, length + 40.0, 12.0)
+    pts = []
+    for side in (1.0, -1.0):
+        x = xs + rng.uniform(-2, 2, len(xs))
+        pts.append(np.stack([x, np.full_like(x, side * 5.95), np.full_like(x, -0.72)], -1))
+    return np.concatenate(pts)
+
+
+def highway_speeds(n_frames: int, v_max: float = 2.2, accel: float = 0.15) -> np.ndarray:
+    """On-ramp acceleration profile: v_i = min(v_max, 0.4 + accel*i)."""
+    return np.minimum(v_max, 0.4 + accel * np.arange(n_frames))
+
+
+def straight_poses_from_speeds(speeds: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    poses = []
+    x = 0.0
+    for v in speeds:
+        poses.append((np.eye(3), np.array([x, 0.0, 0.0])))
+        x += float(v)
+    return poses
+
+
+# ---------------------------------------------------------------------------
+# generic runner
+# ---------------------------------------------------------------------------
+
+def run_scenario(
+    cfg,
+    poses: list[tuple[np.ndarray, np.ndarray]],
+    boxes_fn,                 # i -> (B, 6) world boxes for frame i
+    texture_fn,               # i -> (M, 3) world blob anchors for frame i
+    n_azimuth: int = 900,
+    noise: float = 0.005,
+    verbose: bool = False,
+) -> dict:
+    """Drive the FULL pipeline (VloamDriver.process) through a scenario and
+    score the MO chain against the exact trajectory."""
+    from vloam_tpu.models import frame_graph as fg
+    from vloam_tpu.runtime.driver import VloamDriver
+
+    ext = fg.kitti_default_extrinsics()
+    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
+    vc = cfg.visual
+    driver = VloamDriver(cfg, ext)
+
+    mo = []
+    for i, (R, t) in enumerate(poses):
+        cloud = synthetic.simulate_scan(
+            R, t, boxes_fn(i), n_azimuth=n_azimuth, noise=noise, seed=i
+        )
+        R_wc = R @ synthetic.CAM_R_WORLD.T
+        img = synthetic.render_blob_image(
+            (texture_fn(i) - t) @ R_wc, K, vc.img_height, vc.img_width
+        )
+        out = driver.process(img, cloud)
+        mo.append(np.asarray(out.world_mo))
+        if verbose and i % 10 == 0:
+            err = np.linalg.norm(mo[-1][4:] - t)
+            print(f"  frame {i:3d}  MO err {err:7.3f} m")
+    driver.close()
+
+    mo = np.stack(mo)
+    gt = np.stack([t for _, t in poses])
+    path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+    final_err = float(np.linalg.norm(mo[-1, 4:] - gt[-1]))
+    ate = float(np.mean(np.linalg.norm(mo[:, 4:] - gt, axis=1)))
+    # forward-progress ratio: how much of the true advance the estimate made
+    # (the degenerate-axis failure signature is progress ~ 0)
+    progress = float(
+        (mo[-1, 4] - mo[0, 4]) / max(gt[-1, 0] - gt[0, 0], 1e-9)
+    )
+    return {
+        "mode": "coupled_C" if not cfg.detach_vo_lo else "decoupled_D",
+        "frames": len(poses),
+        "path_len_m": round(path, 1),
+        "final_err_m": round(final_err, 3),
+        "final_err_pct": round(100.0 * final_err / path, 2),
+        "ate_m": round(ate, 3),
+        "x_progress_ratio": round(progress, 3),
+    }
+
+
+def compare_modes(cfg, poses, boxes_fn, texture_fn, **kw) -> dict:
+    """Run a scenario in decoupled (D) and coupled (C) modes."""
+    res = {}
+    for detach in (True, False):
+        c = cfg.replace(detach_vo_lo=detach)
+        r = run_scenario(c, poses, boxes_fn, texture_fn, **kw)
+        res[r["mode"]] = r
+    return res

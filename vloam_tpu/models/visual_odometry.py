@@ -10,10 +10,14 @@ GN solve (Huber 0.1) yields cam0_curr_T_cam0_last
 
 The double-buffered OpenCV pipeline of the reference becomes a VoState
 pytree threaded through a jit-once step.  Keypoints are detected on the
-*previous* frame and tracked forward — equivalent to the reference's KLT
-configuration up to which frame seeds the detector (it feeds current-frame
-corners backwards through LK; forward tracking is the standard formulation
-and tracks the same corners for KITTI-scale motion).
+*previous* frame and tracked forward; the reference instead detects on the
+CURRENT frame and feeds those corners as the start positions of prev->curr
+LK (visual_odometry.cpp:120,146-148).  Measured head-to-head on the
+synthetic camera world (tests/test_klt_direction.py): detect-on-prev wins
+on every axis — track survival 0.66 vs 0.60, depth-hit 0.64 vs 0.62,
+rotation error 2.0e-4 vs 2.9e-4, translation error 0.19 vs 0.21 — because
+corners detected on the frame where LK starts initialize on their own
+intensity peaks.  The shipped formulation is kept deliberately.
 """
 
 from __future__ import annotations

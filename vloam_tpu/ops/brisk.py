@@ -227,7 +227,16 @@ def _sample_pattern(
     bank of N_ROT pre-rotated bilinear-weight rows + a one-hot bin select —
     the per-keypoint continuous-angle gathers this replaces ran ~8.5 ns per
     serially-gathered element and dominated the 69/50 ms BRISK/FREAK frames
-    (rotation therefore quantizes to 2pi/30, the ORB trade)."""
+    (rotation therefore quantizes to 2pi/30, the ORB trade).
+
+    Precision: the matmul casts patch intensities (0-255) and bilinear
+    weights to bf16 (~8-bit mantissa) with f32 accumulation, adding ~±0.5
+    grey-level error to each sampled intensity on top of the rotation
+    snap.  Descriptor bits from near-tie comparisons (|Ia - Ib| < ~1 grey
+    level) can flip vs an f32 sampling path; matching is Hamming-distance
+    ranking, so a handful of unstable bits out of 512 does not change
+    nearest-neighbour assignment in practice, and the MXU only hits its
+    rated throughput on bf16 operands."""
     N = kp.pts.shape[0]
     K = pat_xy.shape[0]
     n_rot = 1 if abin is None else N_ROT

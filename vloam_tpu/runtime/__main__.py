@@ -43,6 +43,18 @@ def main() -> None:
                         "them in the --refine pose graph (implies --refine)")
     p.add_argument("--keyframe-every", type=int, default=10,
                    help="loop-closure keyframe period in frames")
+    p.add_argument("--loop-radius", type=float, default=6.0,
+                   help="revisit proximity gate (m) at zero traveled path")
+    p.add_argument("--loop-min-travel", type=float, default=20.0,
+                   help="minimum traveled path (m) between loop keyframes — "
+                        "gates on path length, not index gap, so stopped "
+                        "segments cannot register spurious revisits")
+    p.add_argument("--loop-drift-rate", type=float, default=0.02,
+                   help="revisit gate growth per metre traveled between the "
+                        "keyframes (detection must survive odometry drift; "
+                        "0.02 covers a 2%% drift rate)")
+    p.add_argument("--loop-min-gap", type=int, default=3,
+                   help="minimum keyframe index gap for a revisit candidate")
     p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
     p.add_argument("--json", action="store_true", help="print metrics as one JSON line")
     p.add_argument("--checkpoint-dir", default=None, help="save pipeline state snapshots here")
@@ -116,11 +128,18 @@ def main() -> None:
 
     from vloam_tpu.runtime.driver import run_kitti, run_synthetic
 
+    loop_kw = {
+        "loop_radius": args.loop_radius,
+        "loop_min_travel": args.loop_min_travel,
+        "loop_drift_rate": args.loop_drift_rate,
+        "loop_min_gap": args.loop_min_gap,
+    }
     if args.dataset == "synthetic":
         res = run_synthetic(
             cfg, n_frames=args.frames, speed=args.speed, out_dir=args.out,
             verbose=not args.json, lidar_only=args.lidar_only, refine=args.refine,
             loop_closure=args.loop_closure, keyframe_every=args.keyframe_every,
+            loop_kw=loop_kw,
         )
     else:
         from vloam_tpu.data.kitti import OdometrySequence, RawSequence
@@ -134,7 +153,7 @@ def main() -> None:
                         checkpoint_every=args.checkpoint_every, resume=args.resume,
                         debug_dir=args.debug_dir, debug_every=args.debug_every,
                         refine=args.refine, loop_closure=args.loop_closure,
-                        keyframe_every=args.keyframe_every)
+                        keyframe_every=args.keyframe_every, loop_kw=loop_kw)
     if args.json:
         print(json.dumps(res))
 

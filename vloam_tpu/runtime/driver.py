@@ -67,6 +67,10 @@ class VloamDriver:
         refine: bool = False,
         loop_closure: bool = False,
         keyframe_every: int = 10,
+        loop_radius: float = 6.0,
+        loop_min_travel: float = 20.0,
+        loop_drift_rate: float = 0.02,
+        loop_min_gap: int = 3,
     ):
         self.cfg = cfg
         self.ext = ext
@@ -88,6 +92,10 @@ class VloamDriver:
         # chain at close() can be re-registered scan-to-scan.
         self.loop_closure = loop_closure
         self.keyframe_every = keyframe_every
+        self.loop_radius = loop_radius
+        self.loop_min_travel = loop_min_travel
+        self.loop_drift_rate = loop_drift_rate
+        self.loop_min_gap = loop_min_gap
         self._keyframes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if debug_dir:
             os.makedirs(debug_dir, exist_ok=True)
@@ -250,10 +258,15 @@ class VloamDriver:
 
         Revisits are gated on the MO chain's keyframe positions; accepted
         registrations (parallel/loop_closure.register_loop) become
-        relative-pose factors indexed into the full frame graph."""
+        relative-pose factors indexed into the full frame graph.  The gate
+        requires real traveled path between the keyframes (index gap alone
+        lets stopped segments register spurious 'revisits') and widens with
+        distance traveled so detection survives accumulated drift on long
+        loops (loop_closure.effective_radius)."""
         from vloam_tpu.ops.scan_registration import extract_features_from_grid
         from vloam_tpu.parallel.loop_closure import (
-            detect_revisits, loop_factors, register_loop,
+            detect_revisits, effective_radius, loop_factors, path_cumlen,
+            register_loop,
         )
 
         kf_ids = sorted(self._keyframes)
@@ -261,7 +274,12 @@ class VloamDriver:
         if len(kf_ids) < 2:
             return None
         positions = np.stack([mo[i][4:] for i in kf_ids])
-        pairs_kf = detect_revisits(positions, min_gap=3, radius=6.0, min_spacing=2)
+        cum = path_cumlen(positions)
+        pairs_kf = detect_revisits(
+            positions, min_gap=self.loop_min_gap, radius=self.loop_radius,
+            min_spacing=2, min_travel=self.loop_min_travel,
+            drift_rate=self.loop_drift_rate,
+        )
         if not pairs_kf:
             return None
 
@@ -287,7 +305,10 @@ class VloamDriver:
                 jnp.array(mo[fk], jnp.float32),
             )
             z, n_corr, ok = register_loop(
-                feats_of(fj), feats_of(fk), rel_init, self.cfg, radius=6.0
+                feats_of(fj), feats_of(fk), rel_init, self.cfg,
+                radius=effective_radius(
+                    cum, jk, kk, self.loop_radius, self.loop_drift_rate
+                ),
             )
             if self.cfg.verbose_level >= 1:
                 print(f"[loop] frames ({fj},{fk}): corr={n_corr} accepted={ok}")
@@ -370,13 +391,15 @@ def run_synthetic(
     refine: bool = False,
     loop_closure: bool = False,
     keyframe_every: int = 10,
+    loop_kw: dict | None = None,
 ):
     """Full-pipeline run on the synthetic raycast world.  Returns a dict of
     drift metrics vs the exact trajectory (our replacement for the
     reference's saved-rosbag smoke runs)."""
     ext = fg.kitti_default_extrinsics()
     driver = VloamDriver(cfg, ext, out_dir, refine=refine,
-                         loop_closure=loop_closure, keyframe_every=keyframe_every)
+                         loop_closure=loop_closure, keyframe_every=keyframe_every,
+                         **(loop_kw or {}))
     boxes = synthetic.default_scene()
     poses = synthetic.straight_trajectory(n_frames, speed=speed, yaw_rate=yaw_rate)
     K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
@@ -448,6 +471,7 @@ def run_kitti(
     refine: bool = False,
     loop_closure: bool = False,
     keyframe_every: int = 10,
+    loop_kw: dict | None = None,
 ):
     """Run the pipeline over a real KITTI sequence (raw or odometry layout).
 
@@ -460,7 +484,8 @@ def run_kitti(
     driver = VloamDriver(cfg, ext, out_dir,
                          checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
                          debug_dir=debug_dir, debug_every=debug_every, refine=refine,
-                         loop_closure=loop_closure, keyframe_every=keyframe_every)
+                         loop_closure=loop_closure, keyframe_every=keyframe_every,
+                         **(loop_kw or {}))
     if resume:
         start = driver.restore_checkpoint(resume)
     end = len(sequence) if end is None else min(end, len(sequence))
