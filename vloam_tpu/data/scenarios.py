@@ -9,7 +9,14 @@ highway seq 01 (45.36 % vs 2.72 %).  Both behaviors have a mechanism:
   forward motion, so the decoupled warm start (laser_odometry.cpp:237-250
   comments; previous-delta seed) never picks up speed, while the coupled
   VO seed supplies the unobservable component from wall texture.
-  Coupled (C) must WIN here.
+  Coupled (C) must WIN here.  Measured nuance (VALIDATION_r04): the VO
+  chain itself recovers ~0.98 of the true advance, but LO's curvature
+  picks on this world are dominated by sensor-relative artifacts (distant
+  grazing-ground arcs, range-cutoff boundaries — the same false edges the
+  A-LOAM-derived reference would pick, scan_registration.cpp:381 has no
+  occlusion/parallel-beam exclusion), which drag roughly a third of the
+  seed back; coupled still makes 0.61 of the true advance where decoupled
+  makes 0.00.
 
 * ``highway``   — sparse structure + a lead vehicle followed at constant
   gap: camera features concentrate on the truck (zero apparent motion,
@@ -51,16 +58,19 @@ def corridor_scene(length: float = 300.0, half_width: float = 7.0) -> np.ndarray
 
 
 def corridor_texture(
-    length: float = 300.0, half_width: float = 7.0, spacing: float = 0.45,
+    length: float = 300.0, half_width: float = 7.0, spacing: float = 1.2,
     seed: int = 3,
 ) -> np.ndarray:
     """World-frame blob anchors ON the inner wall faces (posters/stains):
-    camera-trackable texture whose lidar depth the walls themselves supply."""
+    camera-trackable texture whose lidar depth the walls themselves supply.
+    Spacing is kept > the KLT window's world footprint at typical viewing
+    distances — overlapping blobs at different depths inside one 15-px
+    tracking window mix depths and bias the VO scale."""
     rng = np.random.default_rng(seed)
     xs = np.arange(-20.0, length + 40.0, spacing)
     pts = []
     for side in (+1.0, -1.0):
-        x = xs + rng.uniform(-0.15, 0.15, len(xs))
+        x = xs + rng.uniform(-0.3, 0.3, len(xs))
         y = np.full_like(x, side * (half_width - 0.02))
         z = rng.uniform(-1.2, 3.6, len(xs))
         pts.append(np.stack([x, y, z], -1))
@@ -86,8 +96,11 @@ def highway_static_scene(length: float = 400.0) -> np.ndarray:
         for side in (1.0, -1.0):
             xo = x + rng.uniform(-0.5, 0.5)
             boxes.append([xo, side * 6.8, -1.7, xo + 0.3, side * 6.8 + 0.3, 3.2])
-    # sparse posts afterwards: every 80 m
-    for x in np.arange(90.0, length + 40.0, 80.0):
+    # lamp posts afterwards: every 25 m (static structure stays observable —
+    # the seq-01 failure is basin selection, not absence of structure: at the
+    # truck-locked seed the posts are Huber outliers, at the warm-start seed
+    # they are the inliers)
+    for x in np.arange(55.0, length + 40.0, 25.0):
         for side in (1.0, -1.0):
             boxes.append([x, side * 7.0, -1.7, x + 0.35, side * 7.0 + 0.35, 4.5])
     return np.array(boxes, np.float64)
@@ -155,7 +168,7 @@ def run_scenario(
     vc = cfg.visual
     driver = VloamDriver(cfg, ext)
 
-    mo = []
+    mo, vo = [], []
     for i, (R, t) in enumerate(poses):
         cloud = synthetic.simulate_scan(
             R, t, boxes_fn(i), n_azimuth=n_azimuth, noise=noise, seed=i
@@ -166,21 +179,25 @@ def run_scenario(
         )
         out = driver.process(img, cloud)
         mo.append(np.asarray(out.world_mo))
+        vo.append(np.asarray(out.world_vo))
         if verbose and i % 10 == 0:
             err = np.linalg.norm(mo[-1][4:] - t)
             print(f"  frame {i:3d}  MO err {err:7.3f} m")
     driver.close()
 
-    mo = np.stack(mo)
+    mo, vo = np.stack(mo), np.stack(vo)
     gt = np.stack([t for _, t in poses])
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     final_err = float(np.linalg.norm(mo[-1, 4:] - gt[-1]))
     ate = float(np.mean(np.linalg.norm(mo[:, 4:] - gt, axis=1)))
+
     # forward-progress ratio: how much of the true advance the estimate made
     # (the degenerate-axis failure signature is progress ~ 0)
-    progress = float(
-        (mo[-1, 4] - mo[0, 4]) / max(gt[-1, 0] - gt[0, 0], 1e-9)
-    )
+    def progress(chain):
+        return float(
+            (chain[-1, 4] - chain[0, 4]) / max(gt[-1, 0] - gt[0, 0], 1e-9)
+        )
+
     return {
         "mode": "coupled_C" if not cfg.detach_vo_lo else "decoupled_D",
         "frames": len(poses),
@@ -188,7 +205,8 @@ def run_scenario(
         "final_err_m": round(final_err, 3),
         "final_err_pct": round(100.0 * final_err / path, 2),
         "ate_m": round(ate, 3),
-        "x_progress_ratio": round(progress, 3),
+        "x_progress_ratio": round(progress(mo), 3),
+        "vo_x_progress_ratio": round(progress(vo), 3),
     }
 
 

@@ -346,11 +346,19 @@ class VloamDriver:
             inv = jax.vmap(geo.pose_inverse)(pj[:-1])
             return jax.vmap(geo.pose_compose)(inv, pj[1:])
 
-        factors = concat_factors(
-            odometry_factors(chain_deltas(mo), weight=w_mo),
-            odometry_factors(chain_deltas(lo), weight=w_lo),
-            odometry_factors(chain_deltas(vo), weight=w_vo),
-        )
+        def chain_path(p):
+            return float(np.sum(np.linalg.norm(np.diff(p[:, 4:], axis=0), axis=1)))
+
+        # lidar-only runs leave the VO chain parked at identity; fusing a
+        # zero-motion chain would shrink every fused delta by roughly
+        # w_vo/(w_mo+w_lo+w_vo) — drop chains that plainly didn't run
+        mo_path = chain_path(mo)
+        parts = [odometry_factors(chain_deltas(mo), weight=w_mo)]
+        if chain_path(lo) > 0.05 * mo_path:
+            parts.append(odometry_factors(chain_deltas(lo), weight=w_lo))
+        if chain_path(vo) > 0.05 * mo_path:
+            parts.append(odometry_factors(chain_deltas(vo), weight=w_vo))
+        factors = concat_factors(*parts)
         if self._keyframes:
             lf = self._loop_factors(mo)
             if lf is not None:
