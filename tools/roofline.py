@@ -34,12 +34,15 @@ VPU_GF = 3900.0      # f32 VPU ops/s upper bound (8x128 lanes * 4 ALUs * 0.94 GH
 
 
 def timeit(fn, n=50):
+    # close the async window with a ONE-ELEMENT fetch (slice on device):
+    # fetching a whole output leaf over the axon tunnel costs ~ms/MB and
+    # would smear into the per-call average
     r = fn()
-    np.asarray(jax.tree.leaves(r)[0])[:1]
+    np.asarray(jax.tree.leaves(r)[0][:1].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn()
-    np.asarray(jax.tree.leaves(r)[0])[:1]
+    np.asarray(jax.tree.leaves(r)[0][:1].ravel()[:1])
     return (time.perf_counter() - t0) / n
 
 
@@ -128,7 +131,9 @@ if __name__ == "__main__":
     flops = 2 * N * P * P * 2          # shift + select per element (~2 ops)
     e = entry(f"gather_patches_pair {N}x{P}x{P}", ms, bytes_impl, flops,
               "impl bytes (256-wide aligned DMA windows); ideal-bytes bound "
-              f"would be {bytes_ideal / (HBM_GBS * 1e9) * 1e3:.3f} ms")
+              f"would be {bytes_ideal / (HBM_GBS * 1e9) * 1e3:.3f} ms; the "
+              f"binding resource is really DMA issue: {2 * N} window DMAs "
+              f"in {ms:.2f} ms = {ms * 1e3 / (2 * N):.2f} us/DMA")
     rows.append(e)
 
     # ---- 3. fused GN solver at the mapping solve shapes -------------------
