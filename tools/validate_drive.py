@@ -14,8 +14,10 @@ The synthetic Manhattan world is structurally easier than real KITTI —
 treat the absolute numbers as an upper bound on fidelity, not a KITTI
 claim; the reference's own Table-I MO(C) average is 1.26 %% / 0.0055 deg/m.
 
-Writes VALIDATION_r03.json.  Takes ~10 min (frame raycast dominates); run
-under tmux or nohup, not a 10-minute shell window.
+Writes VALIDATION_r04.json (keyed by mode; ``--hard`` prefixes the mode and
+enables the stressor world — dynamic vehicles, a textureless stretch, a
+ground-dominated plaza; see bench._gen_frames).  Takes ~10 min (frame
+raycast dominates); run under tmux or nohup, not a 10-minute shell window.
 """
 
 from __future__ import annotations
@@ -36,9 +38,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--speed", type=float, default=0.9)
     ap.add_argument("--yaw-rate", type=float, default=0.004)
-    ap.add_argument("--out", default="VALIDATION_r03.json")
+    ap.add_argument("--out", default="VALIDATION_r04.json")
     ap.add_argument("--couple", action="store_true",
                     help="coupled VLOAM mode (detach_VO_LO=false)")
+    ap.add_argument("--hard", action="store_true",
+                    help="stressor world: dynamic vehicles + textureless "
+                         "stretch + ground-dominated plaza (bench._gen_frames "
+                         "hard=True)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +63,7 @@ def main() -> None:
     t_gen0 = time.perf_counter()
     frames, poses = _gen_frames(
         cfg, ext, n_frames=args.frames, speed=args.speed, yaw_rate=args.yaw_rate,
-        snake=True,
+        snake=True, hard=args.hard,
     )
     t_gen = time.perf_counter() - t_gen0
 
@@ -101,6 +107,8 @@ def main() -> None:
     )
     final_err = float(np.linalg.norm(est[-1, :3, 3] - gt[-1, :3, 3]))
     mode = "coupled_C" if args.couple else "decoupled_D"
+    if args.hard:
+        mode = "hard_" + mode
     result = {
         "mode": mode,
         "frames": len(frames),
@@ -113,10 +121,12 @@ def main() -> None:
         "fps": round(fps, 1),
         "frame_gen_s": round(t_gen, 1),
         "note": (
-            "synthetic Manhattan world with exact ground truth; KITTI "
-            "100-800 m segment protocol; structurally easier than real "
-            "KITTI — an engine-fidelity check, not a KITTI result. "
-            "Reference Table-I MO(C) avg: 1.26 % / 0.0055 deg/m."
+            ("STRESSOR world: oncoming + crossing vehicles (lidar+camera), "
+             "12-frame textureless stretch, ground-dominated plaza; " if args.hard
+             else "synthetic Manhattan world with exact ground truth; ")
+            + "KITTI 100-800 m segment protocol; an engine-fidelity check, "
+            "not a KITTI result. Reference Table-I MO(C) avg: 1.26 % / "
+            "0.0055 deg/m."
         ),
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", args.out)
