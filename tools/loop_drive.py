@@ -59,6 +59,8 @@ def main() -> None:
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--n-azimuth", type=int, default=900)
     ap.add_argument("--keyframe-every", type=int, default=10)
+    ap.add_argument("--drift-rate", type=float, default=0.02,
+                    help="driver loop_drift_rate (gate growth per metre)")
     ap.add_argument("--out", default="VALIDATION_r04.json")
     args = ap.parse_args()
 
@@ -81,7 +83,8 @@ def main() -> None:
     ext = fg.kitti_default_extrinsics()
     driver = VloamDriver(
         cfg, ext, loop_closure=True, keyframe_every=args.keyframe_every,
-        loop_radius=6.0, loop_min_travel=100.0, loop_drift_rate=0.02,
+        loop_radius=6.0, loop_min_travel=100.0,
+        loop_drift_rate=args.drift_rate,
     )
 
     t0 = time.perf_counter()
@@ -108,7 +111,7 @@ def main() -> None:
                                   min_spacing=2, min_travel=100.0)
     scaled_pairs = detect_revisits(kf_pos, min_gap=3, radius=6.0,
                                    min_spacing=2, min_travel=100.0,
-                                   drift_rate=0.02)
+                                   drift_rate=args.drift_rate)
     # drift at the true revisit point (end of lap vs start)
     loop_gap_est = float(np.linalg.norm(mo[-1, 4:] - mo[0, 4:]))
     cum = path_cumlen(kf_pos)
@@ -142,8 +145,8 @@ def main() -> None:
         "close_s": round(time.perf_counter() - t_close, 1),
         "note": (
             "multi-km loop with accumulated drift; detection gate comparison "
-            "fixed (radius=6) vs drift-scaled (radius=6 + 0.02*path); pose "
-            "graph with loop factors closes the lap"
+            f"fixed (radius=6) vs drift-scaled (radius=6 + {args.drift_rate}"
+            "*path); pose graph with loop factors closes the lap"
         ),
     }
     out_path = os.path.join(

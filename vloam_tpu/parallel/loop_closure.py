@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vloam_tpu import geometry as geo
@@ -96,6 +97,81 @@ def detect_revisits(
     return pairs
 
 
+def coarse_align(
+    feats_j: ScanFeatures,
+    feats_k: ScanFeatures,
+    n_yaw: int = 128,          # azimuth signature bins (2.8 deg resolution)
+    cell: float = 4.0,         # occupancy cell size (m)
+    half: float = 96.0,        # grid half-extent (m)
+    search: int = 12,          # translation search radius in cells (+-48 m)
+) -> jnp.ndarray:
+    """Scan-context-style SE(2) coarse alignment: (7,) pose j_T_k.
+
+    Scan-to-scan GN registration (solve_f2f) has an association basin of a
+    few metres; after multi-km drift the chain's relative estimate can be
+    tens of metres off, so loop registration needs a global coarse stage
+    (the reference has no loop closure at all).  This is a JOINT dense
+    search over SE(2): for every yaw bin, rotate k's feature cloud,
+    rasterize both clouds into coarse 2D occupancy grids (clipped counts),
+    cross-correlate over +-``search`` cells, and take the globally best
+    (yaw, shift) — one vmapped batch of ``n_yaw`` small correlations
+    (~200 MFLOP; a yaw-signature pre-prune was tried and is NOT
+    translation-invariant enough at 15+ m offsets).  The z-offset comes
+    from the occupancy-weighted mean heights.
+
+    Resolution (cell/2 translation, pi/n_yaw yaw) lands well inside the GN
+    re-association basin; solve_f2f refines from there.
+    """
+    def cloud(f):
+        pts = jnp.concatenate([f.less_flat[:, :3], f.less_sharp[:, :3]])
+        msk = jnp.concatenate([f.less_flat_mask, f.less_sharp_mask])
+        r = jnp.linalg.norm(pts[:, :2], axis=1)
+        return pts, msk & (r > 3.0) & (r < half)
+
+    pj, mj = cloud(feats_j)
+    pk, mk = cloud(feats_k)
+
+    G = int(2 * half / cell)
+
+    def occ(p, m):
+        ix = jnp.clip(((p[:, 0] + half) / cell).astype(jnp.int32), 0, G - 1)
+        iy = jnp.clip(((p[:, 1] + half) / cell).astype(jnp.int32), 0, G - 1)
+        g = jnp.zeros((G, G), jnp.float32).at[ix, iy].add(jnp.where(m, 1.0, 0.0))
+        return jnp.minimum(g, 4.0)      # clip: density must not dominate
+
+    gj = occ(pj, mj)
+    pad = jnp.pad(gj, search)[None, None]
+    yaws = 2 * jnp.pi * jnp.arange(n_yaw, dtype=jnp.float32) / n_yaw
+
+    def score_at(yaw):
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        rot = jnp.stack(
+            [cy * pk[:, 0] - sy * pk[:, 1], sy * pk[:, 0] + cy * pk[:, 1], pk[:, 2]], -1
+        )
+        gk = occ(rot, mk)
+        # win[u, v] = sum_xy gk[x, y] * gj[x + u - search, y + v - search]
+        win = jax.lax.conv_general_dilated(
+            pad, gk[None, None], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0, 0]                          # (2*search+1, 2*search+1)
+        return jnp.max(win), jnp.argmax(win)
+
+    scores, flat_uv = jax.vmap(score_at)(yaws)
+    s = jnp.argmax(scores)
+    dyaw = yaws[s]
+    w = 2 * search + 1
+    uv = flat_uv[s]
+    dx = ((uv // w).astype(jnp.float32) - search) * cell
+    dy = ((uv % w).astype(jnp.float32) - search) * cell
+
+    wz_j = jnp.sum(jnp.where(mj, pj[:, 2], 0.0)) / jnp.maximum(jnp.sum(mj), 1)
+    wz_k = jnp.sum(jnp.where(mk, pk[:, 2], 0.0)) / jnp.maximum(jnp.sum(mk), 1)
+
+    quat = geo.angle_axis_to_quat(jnp.stack([0.0 * dyaw, 0.0 * dyaw, dyaw]))
+    t = jnp.stack([dx, dy, wz_j - wz_k])
+    return geo.pose_from_qt(quat, t)
+
+
 def register_loop(
     feats_j: ScanFeatures,
     feats_k: ScanFeatures,
@@ -104,31 +180,49 @@ def register_loop(
     radius: float = 5.0,
     min_corr: int = 150,
     outer_iters: int = 5,
+    use_coarse: bool = True,
 ) -> tuple[np.ndarray, int, bool]:
     """Scan-to-scan registration of keyframe k against keyframe j.
 
     Returns (z_jk (7,) j_T_k, total correspondences, accepted).  Uses more
     outer association/solve rounds than the frame-to-frame default because
-    the initial error after drift is metres, not centimetres.
+    the initial error after drift is metres, not centimetres.  With
+    ``use_coarse`` the chain seed competes against the coarse_align seed
+    and the refinement with more correspondences wins — after long drift
+    the chain seed is outside the GN basin and the coarse seed is the one
+    that converges (tools/loop_drive.py demonstrates this at ~2 km scale).
     """
     loop_cfg = dataclasses.replace(
         cfg, odom=dataclasses.replace(cfg.odom, outer_iters=outer_iters, distortion=False)
     )
-    pose, counts = solve_f2f(
-        feats_k,
-        feats_j.less_sharp, feats_j.less_sharp_mask,
-        feats_j.less_flat, feats_j.less_flat_mask,
-        jnp.asarray(rel_init, jnp.float32), loop_cfg,
-    )
+
+    def refine(seed):
+        pose, counts = solve_f2f(
+            feats_k,
+            feats_j.less_sharp, feats_j.less_sharp_mask,
+            feats_j.less_flat, feats_j.less_flat_mask,
+            jnp.asarray(seed, jnp.float32), loop_cfg,
+        )
+        return pose, int(np.asarray(counts).sum())
+
+    pose, n_corr = refine(rel_init)
+    seed, bound = jnp.asarray(rel_init, jnp.float32), 2.0 * radius
+    if use_coarse:
+        coarse = coarse_align(feats_j, feats_k)
+        pose_c, n_c = refine(coarse)
+        if n_c > n_corr:
+            pose, n_corr = pose_c, n_c
+            # the coarse seed is trusted to its own resolution, not the
+            # drift gate: correction bounded by a few cells
+            seed, bound = coarse, 14.0
     z = np.asarray(pose)
-    n_corr = int(np.asarray(counts).sum())
     correction = np.asarray(
-        geo.pose_compose(geo.pose_inverse(jnp.asarray(rel_init, jnp.float32)), pose)
+        geo.pose_compose(geo.pose_inverse(seed), pose)
     )
     accepted = (
         n_corr >= min_corr
         and bool(np.all(np.isfinite(z)))
-        and float(np.linalg.norm(correction[4:])) < 2.0 * radius
+        and float(np.linalg.norm(correction[4:])) < bound
     )
     return z, n_corr, accepted
 
