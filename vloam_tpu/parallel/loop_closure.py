@@ -100,10 +100,13 @@ def detect_revisits(
 def coarse_align(
     feats_j: ScanFeatures,
     feats_k: ScanFeatures,
-    n_yaw: int = 128,          # azimuth signature bins (2.8 deg resolution)
+    n_yaw: int = 128,          # yaw search bins (2.8 deg resolution)
     cell: float = 4.0,         # occupancy cell size (m)
     half: float = 96.0,        # grid half-extent (m)
-    search: int = 12,          # translation search radius in cells (+-48 m)
+    search: int = 16,          # translation search radius in cells (+-64 m:
+                               # the detected pair's TRUE offset can approach
+                               # the drift magnitude when drift points along
+                               # the course tangent)
 ) -> jnp.ndarray:
     """Scan-context-style SE(2) coarse alignment: (7,) pose j_T_k.
 
