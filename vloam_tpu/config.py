@@ -37,6 +37,17 @@ class ScanConfig:
     suppression_gap_sq: float = 0.05  # gap^2 that breaks suppression (scan_registration.cpp:411)
     less_flat_voxel: float = 0.2      # leaf size (scan_registration.cpp:500)
     less_flat_cap: int = 32768        # padded size of downsampled less-flat cloud
+    exclude_unreliable: bool = False  # original-LOAM occluded/parallel-beam
+                                      # point exclusion (loam_velodyne
+                                      # scanRegistration.cpp; the A-LOAM-derived
+                                      # reference DROPPED it, scan_registration
+                                      # .cpp:381 picks with no such mask — off by
+                                      # default for parity).  Turning it on
+                                      # removes sensor-relative false edges
+                                      # (occlusion silhouettes, grazing arcs);
+                                      # measured on the degenerate-corridor
+                                      # scenario it lifts coupled forward
+                                      # progress (tests/test_exclude_unreliable)
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,13 @@ highway seq 01 (45.36 % vs 2.72 %).  Both behaviors have a mechanism:
   A-LOAM-derived reference would pick, scan_registration.cpp:381 has no
   occlusion/parallel-beam exclusion), which drag roughly a third of the
   seed back; coupled still makes 0.61 of the true advance where decoupled
-  makes 0.00.
+  makes 0.00.  ``scan.exclude_unreliable`` (original-LOAM occluded/
+  parallel-beam marking, which the reference dropped) removes the far
+  grazing arcs entirely (far-pick fraction 0.46 -> 0.00,
+  tests/test_exclude_unreliable.py) and lifts coupled progress to 0.66;
+  the remaining erosion comes from curvature seams at dropout boundaries
+  (min-range/no-return compaction joins), which original LOAM's marking
+  also passes.
 
 * ``highway``   — sparse structure + a lead vehicle followed at constant
   gap: camera features concentrate on the truck (zero apparent motion,

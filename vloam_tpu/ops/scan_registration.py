@@ -154,6 +154,58 @@ def ring_curvature(grid: jax.Array, n_per_ring: jax.Array, cfg: ScanConfig) -> t
     return curv, selectable
 
 
+def unreliable_mask(grid: jax.Array, gmask: jax.Array, cfg: ScanConfig) -> jax.Array:
+    """Original-LOAM occluded / parallel-beam point marking: (R, C) bool,
+    True = do NOT select as a feature.
+
+    The A-LOAM-derived reference dropped this stage; original LOAM
+    (loam_velodyne scanRegistration.cpp, the cloudNeighborPicked pre-pass)
+    marks two classes of sensor-relative artifacts before selection:
+
+      * OCCLUSION silhouettes: consecutive ring points i, i+1 whose gap
+        exceeds 0.1 m^2 AND that lie along nearly the same ray (the scaled
+        difference < 0.1 of the nearer depth) are a foreground/background
+        edge; the 6 points on the FARTHER side of the edge are marked —
+        their position is a shadow of the foreground object and moves with
+        the sensor, not the world.
+      * PARALLEL (grazing) beams: a point whose gaps to BOTH ring
+        neighbours exceed 0.0002 * depth^2 sits on a surface nearly
+        parallel to the beam (distant grazing ground, cutoff arcs); its
+        apparent geometry is dominated by the sampling, not the surface.
+
+    All comparisons are pure shifts along the ring axis — the same
+    fixed-shape formulation as curvature and suppression."""
+    xyz = grid[..., :3]
+    r = jnp.linalg.norm(xyz, axis=-1)
+    nxt = jnp.roll(xyz, -1, axis=1)
+    r_nxt = jnp.roll(r, -1, axis=1)
+    pair_ok = gmask & jnp.roll(gmask, -1, axis=1)
+    diff_next = jnp.sum((nxt - xyz) ** 2, axis=-1)
+
+    # occlusion: gap > 0.1 and near-collinear rays (scanRegistration.cpp:
+    # i farther -> mark i-5..i; i+1 farther -> mark i+1..i+6)
+    big = pair_ok & (diff_next > 0.1)
+    safe_rn = jnp.maximum(r_nxt, 1e-6)
+    safe_r = jnp.maximum(r, 1e-6)
+    d_far_i = jnp.linalg.norm(nxt * (r / safe_rn)[..., None] - xyz, axis=-1)
+    d_far_n = jnp.linalg.norm(nxt - xyz * (r_nxt / safe_r)[..., None], axis=-1)
+    mark_back = big & (r > r_nxt) & (d_far_i / safe_rn < 0.1)    # i-5..i
+    mark_fwd = big & (r <= r_nxt) & (d_far_n / safe_r < 0.1)     # i+1..i+6
+    unrel = jnp.zeros(gmask.shape, bool)
+    for l in range(6):
+        unrel = unrel | jnp.roll(mark_back, -l, axis=1)          # edge at i+l
+        unrel = unrel | jnp.roll(mark_fwd, l + 1, axis=1)        # edge at i-1-l
+
+    # parallel beam: both neighbour gaps > 0.0002 * depth^2
+    diff_prev = jnp.roll(diff_next, 1, axis=1)
+    prev_ok = jnp.roll(pair_ok, 1, axis=1)
+    thresh = 0.0002 * r * r
+    unrel = unrel | (
+        pair_ok & prev_ok & (diff_next > thresh) & (diff_prev > thresh)
+    )
+    return unrel
+
+
 def _suppression_reach(grid: jax.Array, gmask: jax.Array, cfg: ScanConfig) -> tuple[jax.Array, jax.Array]:
     """Forward/backward suppression reach per cell.
 
@@ -228,6 +280,8 @@ def extract_features_from_grid(
     # Rings with < 6 usable points are skipped (scan_registration.cpp:355).
     ring_ok = (n_per_ring[:, None] - 2 * w - 1) >= 6
     selectable = selectable & gmask & ring_ok
+    if cfg.exclude_unreliable:
+        selectable = selectable & ~unreliable_mask(grid, gmask, cfg)
 
     sector_oh = sector[:, None, :] == jnp.arange(S, dtype=jnp.int32)[None, :, None]  # (R, S, C)
 

@@ -79,6 +79,10 @@ def main() -> None:
     p.add_argument("--line-res", type=float, default=None, help="mapping_line_resolution")
     p.add_argument("--plane-res", type=float, default=None, help="mapping_plane_resolution")
     p.add_argument("--mapping-skip-frame", type=int, default=None)
+    p.add_argument("--exclude-unreliable", action="store_true",
+                   help="original-LOAM occluded/parallel-beam point exclusion "
+                        "(dropped by the A-LOAM-derived reference; removes "
+                        "sensor-relative false edges)")
     p.add_argument("--distortion", action="store_true",
                    help="per-point slerp motion compensation in LO "
                         "(TransformToStart/End; off for pre-synced KITTI)")
@@ -123,6 +127,8 @@ def main() -> None:
         map_kw["skip_frame"] = args.mapping_skip_frame
     if args.distortion:
         cfg = cfg.replace(odom=dataclasses.replace(cfg.odom, distortion=True))
+    if args.exclude_unreliable:
+        cfg = cfg.replace(scan=dataclasses.replace(cfg.scan, exclude_unreliable=True))
     if map_kw:
         cfg = cfg.replace(mapping=dataclasses.replace(cfg.mapping, **map_kw))
 
