@@ -42,6 +42,40 @@ def _feats_at(world, R, t, cap=8192):
     )
 
 
+@pytest.mark.slow
+def test_register_loop_recovers_from_drifted_seed():
+    """register_loop with a chain estimate 40+ m off (far outside the GN
+    association basin): the coarse seed must win and recover the true
+    relative pose to centimetres — the loop_drive mechanism, pinned."""
+    import jax.numpy as jnp
+
+    from vloam_tpu.config import ScanConfig, kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.ops.scan_registration import extract_features
+    from vloam_tpu.parallel.loop_closure import register_loop
+    from tests.test_loop_closure import _ring_scene
+
+    cfg = kitti_hdl64().replace(
+        scan=ScanConfig(ring_cap=512, max_points=32768, less_flat_cap=8192)
+    )
+    scene = _ring_scene(10.0)
+    feats = []
+    for t in [np.zeros(3), np.array([2.0, 2.0, 0.0])]:
+        pts = synthetic.simulate_scan(
+            np.eye(3), t, scene, n_azimuth=700, noise=0.005, seed=int(t[0])
+        )
+        p, m = synthetic.pad_cloud(pts, cfg.scan.max_points)
+        feats.append(extract_features(jnp.array(p), jnp.array(m), cfg.scan))
+
+    drifted = geo.pose_from_qt(
+        jnp.array([0, 0, 0, 1.0], jnp.float32),
+        jnp.array([38.0, -14.0, 0.0], jnp.float32),
+    )
+    z, n_corr, ok = register_loop(feats[0], feats[1], drifted, cfg, radius=50.0)
+    assert ok and n_corr > 300, (ok, n_corr)
+    assert np.linalg.norm(z[4:] - np.array([2.0, 2.0, 0.0])) < 0.1, z[4:]
+
+
 @pytest.mark.parametrize("yaw,dx,dy", [
     (0.0, 16.0, -8.0),          # pure translation, well outside the GN basin
     (0.45, -12.0, 20.0),        # yaw + translation
