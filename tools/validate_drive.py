@@ -45,6 +45,9 @@ def main() -> None:
                     help="stressor world: dynamic vehicles + textureless "
                          "stretch + ground-dominated plaza (bench._gen_frames "
                          "hard=True)")
+    ap.add_argument("--exclude-unreliable", action="store_true",
+                    help="original-LOAM occluded/parallel-beam exclusion "
+                         "(ScanConfig.exclude_unreliable)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +62,12 @@ def main() -> None:
     cfg = kitti_hdl64()
     if args.couple:
         cfg = cfg.replace(detach_vo_lo=False)
+    if args.exclude_unreliable:
+        import dataclasses
+
+        cfg = cfg.replace(
+            scan=dataclasses.replace(cfg.scan, exclude_unreliable=True)
+        )
     ext = fg.kitti_default_extrinsics()
     t_gen0 = time.perf_counter()
     frames, poses = _gen_frames(
@@ -109,6 +118,8 @@ def main() -> None:
     mode = "coupled_C" if args.couple else "decoupled_D"
     if args.hard:
         mode = "hard_" + mode
+    if args.exclude_unreliable:
+        mode = "excl_" + mode
     result = {
         "mode": mode,
         "frames": len(frames),
