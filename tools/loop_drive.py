@@ -61,6 +61,10 @@ def main() -> None:
     ap.add_argument("--keyframe-every", type=int, default=10)
     ap.add_argument("--drift-rate", type=float, default=0.02,
                     help="driver loop_drift_rate (gate growth per metre)")
+    ap.add_argument("--exclude-unreliable", action="store_true",
+                    help="original-LOAM unreliable-point exclusion")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the artifact key (loop_drive<tag>)")
     ap.add_argument("--out", default="VALIDATION_r04.json")
     args = ap.parse_args()
 
@@ -80,6 +84,12 @@ def main() -> None:
     poses = synthetic.straight_trajectory(n, speed=args.speed, yaw_rate=yaw_rate)
 
     cfg = kitti_hdl64()
+    if args.exclude_unreliable:
+        import dataclasses
+
+        cfg = cfg.replace(
+            scan=dataclasses.replace(cfg.scan, exclude_unreliable=True)
+        )
     ext = fg.kitti_default_extrinsics()
     driver = VloamDriver(
         cfg, ext, loop_closure=True, keyframe_every=args.keyframe_every,
@@ -156,7 +166,7 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as fp:
             record = json.load(fp)
-    record["loop_drive"] = result
+    record["loop_drive" + args.tag] = result
     with open(out_path, "w") as fp:
         json.dump(record, fp, indent=1)
     print(json.dumps(result))
