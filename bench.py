@@ -115,6 +115,13 @@ def _gen_frames(cfg, ext, n_frames=None, speed=0.8, yaw_rate=0.005, snake=False,
             y_cr = -28.0 + 0.9 * (i % 120)
             if abs(y_cr) < 28.0:
                 dyn.append([x_junc, y_cr, -1.7, x_junc + 1.8, y_cr + 1.2, 0.2])
+                # blob patch on the camera-facing (-x) side so the crossing
+                # vehicle stresses VO tracking too, not just LO/map inserts
+                dyn_tex = np.concatenate([dyn_tex, np.stack([
+                    np.full(len(dyn_face), x_junc - 0.01),
+                    y_cr + 1.2 * dyn_face[:, 0],
+                    -1.6 + 1.7 * dyn_face[:, 1],
+                ], -1)])
             if dyn:
                 near = np.concatenate([near, np.array(dyn)])
         cloud = synthetic.simulate_scan(R, t, near, n_azimuth=1800, noise=0.005, seed=i)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from vloam_tpu.config import MappingConfig, ScanConfig, kitti_hdl64
 from vloam_tpu.models.vloam import init_vloam_state
@@ -30,6 +31,61 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert frame == 17
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_driver_resume_equals_uninterrupted(tmp_path):
+    """End-to-end lossless resume (VERDICT r4 #4): a run interrupted after a
+    mid-run checkpoint, resumed, must produce byte-identical trajectory
+    files AND identical refined output to an uninterrupted run — including
+    the f64 host chains, loop-closure keyframes, and world history that
+    live outside the device pytree."""
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.models import frame_graph as fg
+    from vloam_tpu.runtime.driver import VloamDriver
+
+    n = 10
+    scene = synthetic.default_scene()
+    poses = synthetic.straight_trajectory(n, speed=0.8, yaw_rate=0.004)
+    clouds = [
+        synthetic.simulate_scan(R, t, scene, n_azimuth=300, noise=0.005, seed=i)
+        for i, (R, t) in enumerate(poses)
+    ]
+    ext = fg.kitti_default_extrinsics()
+    kw = dict(refine=True, loop_closure=True, keyframe_every=3)
+
+    # --- uninterrupted reference run -----------------------------------
+    out_a = str(tmp_path / "a")
+    da = VloamDriver(CFG, ext, out_dir=out_a, **kw)
+    for c in clouds:
+        da.process(None, c)
+    ref_a = da.refine_trajectory()
+    da.close()
+
+    # --- interrupted run: checkpoint at 6, "crash" at 8 ----------------
+    out_b = str(tmp_path / "b")
+    ck = str(tmp_path / "ck")
+    db = VloamDriver(CFG, ext, out_dir=out_b, checkpoint_dir=ck,
+                     checkpoint_every=6, **kw)
+    for c in clouds[:8]:
+        db.process(None, c)
+    del db                                   # no close(): simulated crash
+
+    # --- resume and finish ---------------------------------------------
+    dc = VloamDriver(CFG, ext, out_dir=out_b, **kw)
+    start = dc.restore_checkpoint(str(tmp_path / "ck" / "ckpt_000006"))
+    assert start == 6
+    assert sorted(dc._keyframes) == [0, 3]   # keyframes survive the resume
+    assert len(dc._world_hist) == 6
+    for c in clouds[6:]:
+        dc.process(None, c)
+    ref_c = dc.refine_trajectory()
+    dc.close()
+
+    for name in ("VO1.txt", "LO1.txt", "MO1.txt", "MO1_refined.txt"):
+        with open(f"{out_a}/{name}") as fa, open(f"{out_b}/{name}") as fb:
+            assert fa.read() == fb.read(), f"{name} differs after resume"
+    np.testing.assert_array_equal(ref_a, ref_c)
 
 
 def test_checkpoint_roundtrip_sharded_map(tmp_path):

@@ -10,6 +10,7 @@ from vloam_tpu.parallel.pose_graph import (
     concat_factors,
     odometry_factors,
     optimize_pose_graph,
+    optimize_pose_graph_banded,
 )
 
 
@@ -59,6 +60,44 @@ def test_loop_closure_reduces_drift():
     err_after = float(jnp.linalg.norm(opt[-1, 4:] - gt[-1, 4:]))
     assert err_after < 0.15 * err_before
     assert np.isfinite(np.asarray(opt)).all()
+
+
+def test_banded_matches_dense():
+    """Block-Thomas + Woodbury path == dense path on chain + loop graphs,
+    with and without loop factors and with multiple odometry chains."""
+    gt, deltas_gt, noisy = _make_square()
+    W = gt.shape[0]
+    poses = [geo.pose_identity()]
+    for d in noisy:
+        poses.append(geo.pose_compose(poses[-1], d))
+    poses = jnp.stack(poses)
+
+    chain = concat_factors(
+        odometry_factors(noisy, weight=1.0), odometry_factors(deltas_gt, weight=0.2)
+    )
+    loop = PoseGraphFactors(
+        i=jnp.array([0, 3], jnp.int32),
+        j=jnp.array([W - 1, W - 5], jnp.int32),
+        z=jnp.stack([
+            geo.pose_compose(geo.pose_inverse(gt[0]), gt[W - 1]),
+            geo.pose_compose(geo.pose_inverse(gt[3]), gt[W - 5]),
+        ]),
+        weight=jnp.array([10.0, 4.0], jnp.float32),
+        valid=jnp.ones(2, bool),
+    )
+    dense = np.asarray(optimize_pose_graph(poses, concat_factors(chain, loop), iters=6))
+    banded = np.asarray(optimize_pose_graph_banded(poses, chain, loop, iters=6))
+    np.testing.assert_allclose(banded, dense, atol=5e-4)
+
+    dense_nl = np.asarray(optimize_pose_graph(poses, chain, iters=4))
+    banded_nl = np.asarray(optimize_pose_graph_banded(poses, chain, None, iters=4))
+    np.testing.assert_allclose(banded_nl, dense_nl, atol=5e-4)
+
+    # empty loop factor set degrades to the pure tridiagonal path
+    from vloam_tpu.parallel.loop_closure import loop_factors as make_lf
+
+    banded_empty = np.asarray(optimize_pose_graph_banded(poses, chain, make_lf([], []), iters=4))
+    np.testing.assert_allclose(banded_empty, dense_nl, atol=5e-4)
 
 
 def test_sharded_factors_match_single_device():

@@ -13,7 +13,7 @@ a fixed proximity gate.  This drive:
     gate vs the drift-scaled gate (parallel/loop_closure.effective_radius),
     and raw-vs-refined ATE,
 
-into VALIDATION_r04.json under "loop_drive".  Runtime ~15-25 min with the
+into VALIDATION_r05.json under "loop_drive".  Runtime ~15-25 min with the
 real chip (raycast dominates); run under nohup/tmux.
 """
 
@@ -55,6 +55,11 @@ def ring_world(radius: float, seed: int = 12) -> np.ndarray:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1500)
+    ap.add_argument("--laps", type=int, default=1,
+                    help="laps around the ring; >=2 distributes revisits "
+                         "over the whole course (every lap-2 keyframe has a "
+                         "lap-1 counterpart) instead of clustering them at "
+                         "lap end — the interior becomes observable")
     ap.add_argument("--speed", type=float, default=1.3)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--n-azimuth", type=int, default=900)
@@ -65,7 +70,7 @@ def main() -> None:
                     help="original-LOAM unreliable-point exclusion")
     ap.add_argument("--tag", default="",
                     help="suffix for the artifact key (loop_drive<tag>)")
-    ap.add_argument("--out", default="VALIDATION_r04.json")
+    ap.add_argument("--out", default="VALIDATION_r05.json")
     args = ap.parse_args()
 
     from vloam_tpu.config import kitti_hdl64
@@ -75,10 +80,10 @@ def main() -> None:
     from vloam_tpu.runtime.driver import VloamDriver
 
     n = args.frames
-    yaw_rate = 2 * np.pi / n          # exactly one lap
+    yaw_rate = args.laps * 2 * np.pi / n      # exactly --laps laps
     radius = args.speed / yaw_rate
-    print(f"[loop_drive] {n} frames, lap length {n * args.speed:.0f} m, "
-          f"course radius {radius:.0f} m")
+    print(f"[loop_drive] {n} frames, {args.laps} lap(s), "
+          f"course length {n * args.speed:.0f} m, radius {radius:.0f} m")
     world = ring_world(radius)
     centers = (world[:, :3] + world[:, 3:]) / 2.0
     poses = synthetic.straight_trajectory(n, speed=args.speed, yaw_rate=yaw_rate)
@@ -105,8 +110,9 @@ def main() -> None:
             R, t, world[near], n_azimuth=args.n_azimuth,
             noise=args.noise, seed=i,
         )
-        out = driver.process(None, cloud)
-        mo.append(np.asarray(out.world_mo))
+        driver.process(None, cloud)
+        mo.append(driver._w_mo64.copy())     # the f64 host chain (what the
+                                             # backend gates and refines on)
         if i % 100 == 0:
             err = np.linalg.norm(mo[-1][4:] - t)
             print(f"  frame {i:4d}  MO err {err:7.2f} m  "
@@ -140,6 +146,9 @@ def main() -> None:
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     result = {
         "frames": n,
+        "laps": args.laps,
+        "refine_report": getattr(driver, "refine_report", {}),
+        "f32_divergence_m": driver.f32_divergence_m,
         "path_len_m": round(path, 1),
         "keyframes": len(kf_pos),
         "scan_noise_m": args.noise,

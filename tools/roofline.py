@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
 
 HBM_GBS = 819.0      # TPU v5e HBM bandwidth, GB/s (public spec)
 VPU_GF = 3900.0      # f32 VPU ops/s upper bound (8x128 lanes * 4 ALUs * 0.94 GHz)
@@ -66,7 +67,6 @@ def entry(name, ms, bytes_, flops, note):
 
 
 if __name__ == "__main__":
-    import jax
     import jax.numpy as jnp
 
     if jax.default_backend() in ("cpu", "gpu"):
@@ -88,8 +88,6 @@ if __name__ == "__main__":
     ca = jnp.array(rng.uniform(-60, 60, (Na, 3)).astype(np.float32))
     qb = jnp.array(rng.uniform(-60, 60, (Mb, 3)).astype(np.float32))
     cb = jnp.array(rng.uniform(-60, 60, (Nb, 3)).astype(np.float32))
-    ma = jnp.ones((Na,), bool)
-    mb = jnp.ones((Nb,), bool)
     pair_j = jax.jit(
         lambda a, b, c, d: knn_lanemin_pair(a, b, jnp.ones((Na,), bool), 5,
                                             c, d, jnp.ones((Nb,), bool), 5)

@@ -14,7 +14,7 @@ The synthetic Manhattan world is structurally easier than real KITTI —
 treat the absolute numbers as an upper bound on fidelity, not a KITTI
 claim; the reference's own Table-I MO(C) average is 1.26 %% / 0.0055 deg/m.
 
-Writes VALIDATION_r04.json (keyed by mode; ``--hard`` prefixes the mode and
+Writes VALIDATION_r05.json (keyed by mode; ``--hard`` prefixes the mode and
 enables the stressor world — dynamic vehicles, a textureless stretch, a
 ground-dominated plaza; see bench._gen_frames).  Takes ~10 min (frame
 raycast dominates); run under tmux or nohup, not a 10-minute shell window.
@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--speed", type=float, default=0.9)
     ap.add_argument("--yaw-rate", type=float, default=0.004)
-    ap.add_argument("--out", default="VALIDATION_r04.json")
+    ap.add_argument("--out", default="VALIDATION_r05.json")
     ap.add_argument("--couple", action="store_true",
                     help="coupled VLOAM mode (detach_VO_LO=false)")
     ap.add_argument("--hard", action="store_true",

@@ -46,6 +46,13 @@ class VloamOutputs(NamedTuple):
     world_mo: jax.Array   # (7,) world_T_base from mapping
     lo_corr: jax.Array    # (2,) int32 LO edge/plane correspondence counts
                           # (the degradation signal of laser_odometry.cpp:489-496)
+    # Per-frame deltas for the host-side f64 world chains (the reference
+    # accumulates world poses in Ceres doubles, laser_odometry.cpp:524-525;
+    # the in-jit f32 chains above remain the device-side coupling state):
+    vo_delta: jax.Array       # (7,) velo_last_VOT_velo_curr (this frame's VO motion)
+    lo_delta: jax.Array       # (7,) velo_last_LOT_velo_curr
+    mo_correction: jax.Array  # (7,) wmap_T_wodom after this frame's mapping update
+                              #      (world_MO = mo_correction o world_LO exactly)
 
 
 def init_vloam_state(cfg: VloamConfig, n_map_shards: int = 1) -> VloamState:
@@ -160,4 +167,6 @@ def vloam_step(
         vo_pose=vo_row, lo_pose=lo_row, mo_pose=mo_row,
         world_vo=world_VOT_base, world_lo=world_LOT_base, world_mo=world_MOT_base,
         lo_corr=lo_corr,
+        vo_delta=velo_last_VOT_velo_curr, lo_delta=lo_delta,
+        mo_correction=mp_state.wmap_wodom,
     )

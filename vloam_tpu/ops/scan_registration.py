@@ -189,8 +189,14 @@ def unreliable_mask(grid: jax.Array, gmask: jax.Array, cfg: ScanConfig) -> jax.A
     safe_r = jnp.maximum(r, 1e-6)
     d_far_i = jnp.linalg.norm(nxt * (r / safe_rn)[..., None] - xyz, axis=-1)
     d_far_n = jnp.linalg.norm(nxt - xyz * (r_nxt / safe_r)[..., None], axis=-1)
-    mark_back = big & (r > r_nxt) & (d_far_i / safe_rn < 0.1)    # i-5..i
-    mark_fwd = big & (r <= r_nxt) & (d_far_n / safe_r < 0.1)     # i+1..i+6
+    # normalise by the FARTHER depth so the criterion is the pure angular
+    # gate of loam_velodyne (scale farther point to nearer depth, divide by
+    # nearer depth — algebraically identical to dividing these expressions,
+    # which scale the nearer point up, by the farther depth); dividing by
+    # the nearer depth instead made the gate stricter by farther/nearer and
+    # let high-ratio occlusion edges escape at coarse azimuth sampling
+    mark_back = big & (r > r_nxt) & (d_far_i / safe_r < 0.1)     # i-5..i
+    mark_fwd = big & (r <= r_nxt) & (d_far_n / safe_rn < 0.1)    # i+1..i+6
     unrel = jnp.zeros(gmask.shape, bool)
     for l in range(6):
         unrel = unrel | jnp.roll(mark_back, -l, axis=1)          # edge at i+l

@@ -233,19 +233,24 @@ def register_loop(
 def loop_factors(
     pairs: list[tuple[int, int]],
     zs: list[np.ndarray],
-    weight: float = 5.0,
+    weight: float | list[float] | np.ndarray = 5.0,
 ) -> PoseGraphFactors:
-    """Accepted loop registrations -> relative-pose factors (i_T_j = z)."""
+    """Accepted loop registrations -> relative-pose factors (i_T_j = z).
+
+    ``weight`` may be per-factor (evidence weighting: the driver scales by
+    the registration's correspondence count, so a marginal 150-corr loop
+    cannot out-vote a dense 1500-corr one)."""
     if not pairs:
         return PoseGraphFactors(
             i=jnp.zeros((0,), jnp.int32), j=jnp.zeros((0,), jnp.int32),
             z=jnp.zeros((0, 7), jnp.float32), weight=jnp.zeros((0,), jnp.float32),
             valid=jnp.zeros((0,), bool),
         )
+    w = np.broadcast_to(np.asarray(weight, np.float32), (len(pairs),))
     return PoseGraphFactors(
         i=jnp.array([p[0] for p in pairs], jnp.int32),
         j=jnp.array([p[1] for p in pairs], jnp.int32),
         z=jnp.array(np.stack(zs), jnp.float32),
-        weight=jnp.full((len(pairs),), weight, jnp.float32),
+        weight=jnp.array(w),
         valid=jnp.ones((len(pairs),), bool),
     )

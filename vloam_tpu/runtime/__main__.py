@@ -49,10 +49,12 @@ def main() -> None:
                    help="minimum traveled path (m) between loop keyframes — "
                         "gates on path length, not index gap, so stopped "
                         "segments cannot register spurious revisits")
-    p.add_argument("--loop-drift-rate", type=float, default=0.02,
+    p.add_argument("--loop-drift-rate", type=float, default=0.05,
                    help="revisit gate growth per metre traveled between the "
-                        "keyframes (detection must survive odometry drift; "
-                        "0.02 covers a 2%% drift rate)")
+                        "keyframes.  Must be at least the course's observed "
+                        "odometry drift rate or detection silently misses "
+                        "(the 1949 m demo lap drifts 4.1%% and needs 0.05; "
+                        "0.02 detected nothing there, VALIDATION_r04)")
     p.add_argument("--loop-min-gap", type=int, default=3,
                    help="minimum keyframe index gap for a revisit candidate")
     p.add_argument("--beams", type=int, default=64, choices=[16, 32, 64])
