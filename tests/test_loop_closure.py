@@ -139,7 +139,7 @@ def test_loop_closure_closes_drift_on_loop_course():
         geo.pose_inverse(jnp.array(worlds[j])), jnp.array(worlds[k])
     )
     z, n_corr, accepted = register_loop(
-        keyframes[0], keyframes[n - 1], rel_init, CFG, radius=6.0
+        keyframes[0], keyframes[n - 1], rel_init, CFG
     )
     assert accepted, (n_corr, z)
 

@@ -71,8 +71,8 @@ def test_register_loop_recovers_from_drifted_seed():
         jnp.array([0, 0, 0, 1.0], jnp.float32),
         jnp.array([38.0, -14.0, 0.0], jnp.float32),
     )
-    z, n_corr, ok = register_loop(feats[0], feats[1], drifted, cfg, radius=50.0)
-    assert ok and n_corr > 300, (ok, n_corr)
+    z, n_tight, ok = register_loop(feats[0], feats[1], drifted, cfg)
+    assert ok and n_tight > 300, (ok, n_tight)
     assert np.linalg.norm(z[4:] - np.array([2.0, 2.0, 0.0])) < 0.1, z[4:]
 
 

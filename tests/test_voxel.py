@@ -48,3 +48,42 @@ def test_voxel_empty():
     pts = np.zeros((16, 3), np.float32)
     out, omask = voxel_downsample(jnp.array(pts), jnp.zeros(16, bool), 0.5, 8)
     assert not np.asarray(omask).any()
+
+
+def test_voxel_presorted_interleaved_invalid(rng):
+    """Invalid rows interleaved BETWEEN valid runs (the ring-grid padding
+    layout of the less-flat reduction).  Regression: the old implementation
+    dumped invalid rows into a scrap segment, breaking the monotone-index
+    contract that segment_sum(indices_are_sorted=True) relies on — TPU's
+    sorted-scatter lowering then silently zeroed most centroids (the unit
+    suite runs on CPU, which ignores the hint and hid it; caught on-chip in
+    round 5).  This pins the monotone formulation on every backend."""
+    import jax.numpy as jnp
+
+    from vloam_tpu.ops.voxel import voxel_downsample
+
+    R, C = 8, 64
+    pts = np.zeros((R * C, 4), np.float32)
+    mask = np.zeros((R * C,), bool)
+    expect = []
+    for r in range(8):
+        n_valid = 10 + 3 * r
+        base = r * C
+        # one spatial cluster per ring, well separated; all points of the
+        # ring land in ONE voxel at leaf=4 -> the centroid is their mean
+        cluster = np.array([10.0 * r, -5.0 * r, 1.0]) + rng.uniform(0, 0.5, (n_valid, 3))
+        pts[base:base + n_valid, :3] = cluster
+        mask[base:base + n_valid] = True          # trailing C-n_valid rows invalid
+        expect.append(cluster.mean(axis=0))
+    ring_id = np.repeat(np.arange(R, dtype=np.int32), C)
+    out, om = voxel_downsample(
+        jnp.array(pts), jnp.array(mask), 4.0, 64,
+        group_key=jnp.array(ring_id), presorted=True,
+    )
+    got = np.asarray(out)[np.asarray(om)]
+    assert got.shape[0] == R, got.shape
+    np.testing.assert_allclose(
+        np.sort(got[:, :3], axis=0), np.sort(np.stack(expect), axis=0), atol=1e-5
+    )
+    # no valid output row may be the zero artifact
+    assert (np.linalg.norm(got[:, :3], axis=1) > 1e-6).sum() >= R - 1

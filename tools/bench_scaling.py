@@ -42,7 +42,13 @@ def main() -> None:
                     help="shrunken map config (CPU/virtual-mesh smoke runs)")
     ap.add_argument("--out", default=None,
                     help="append results into this JSON artifact (e.g. "
-                         "SCALING_r03.json); existing keys are preserved")
+                         "SCALING_r05.json); existing keys are preserved")
+    ap.add_argument("--ablate-merge", action="store_true",
+                    help="ALSO time the collective-free twin at each S "
+                         "(cross-shard top-k merge replaced by local "
+                         "candidates) and report merge_ms = normal - "
+                         "ablated, isolating the communication share from "
+                         "oversubscription on virtual meshes (VERDICT r4 #7)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -100,6 +106,7 @@ def main() -> None:
 
     shard_counts = [s for s in (1, 2, 4, 8) if s <= len(devices)]
     times = {}
+    times_ablated = {}
     payloads = {}
     for S in shard_counts:
         # weak scaling: the map GROWS with the fleet (grid_w x S) so every
@@ -109,22 +116,27 @@ def main() -> None:
         cfg_s = dataclasses.replace(cfg, mapping=dataclasses.replace(
             cfg.mapping, grid_w=cfg.mapping.grid_w * S))
         mesh = Mesh(np.array(devices[:S]), ("map",))
-        step = make_sharded_step(cfg_s, mesh)
-        state = init_map_state(cfg_s, n_shards=S, sharded=True)
         shardings = jax.tree.map(
             lambda sp: NamedSharding(mesh, sp), map_state_specs("map")
         )
-        state = jax.tree.map(jax.device_put, state, shardings)
-        # bootstrap: two steps populate cubes + compile
-        state, _ = step(state, corner_in, cmask, surf_in, smask, pose)
-        state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
-        np.asarray(pw)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
+
+        def timed(step):
+            state = init_map_state(cfg_s, n_shards=S, sharded=True)
+            state = jax.tree.map(jax.device_put, state, shardings)
+            # bootstrap: two steps populate cubes + compile
+            state, _ = step(state, corner_in, cmask, surf_in, smask, pose)
             state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
-        np.asarray(pw)
-        dt = (time.perf_counter() - t0) / args.steps * 1e3
+            np.asarray(pw)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, pw = step(state, corner_in, cmask, surf_in, smask, pose)
+            np.asarray(pw)
+            return (time.perf_counter() - t0) / args.steps * 1e3
+
+        dt = timed(make_sharded_step(cfg_s, mesh))
         times[S] = dt
+        if args.ablate_merge and S > 1:
+            times_ablated[S] = timed(make_sharded_step(cfg_s, mesh, ablate_merge=True))
         # Per-device collective bytes received per frame: one merge per
         # feature type per outer iteration (mapping_shard.optimize).
         mc = cfg_s.mapping
@@ -133,12 +145,15 @@ def main() -> None:
             + merge_payload_bytes(S, mc.surf_stack_cap, mc.n_neighbors)
         )
         payloads[S] = payload
-        print(json.dumps({
+        entry = {
             "metric": f"mapping_sharded_step_ms_S{S}", "value": round(dt, 3),
             "unit": "ms",
-            "map_capacity_pts": int(state.cube_pts.shape[0]) * int(state.cube_pts.shape[1]),
             "merge_payload_bytes_per_frame": payload,
-        }))
+        }
+        if S in times_ablated:
+            entry["ablated_ms"] = round(times_ablated[S], 3)
+            entry["merge_ms"] = round(dt - times_ablated[S], 3)
+        print(json.dumps(entry))
 
     base = times[shard_counts[0]]
     effs = {}
@@ -196,6 +211,8 @@ def main() -> None:
             "queries_per_step": args.queries,
             "tiny_config": bool(args.tiny),
             "step_ms": {str(s): round(t, 3) for s, t in times.items()},
+            "ablated_step_ms": {str(s): round(t, 3) for s, t in times_ablated.items()},
+            "merge_ms": {str(s): round(times[s] - t, 3) for s, t in times_ablated.items()},
             "weak_scaling_efficiency": {str(s): round(e, 3) for s, e in effs.items()},
             "merge_payload_bytes_per_frame": {str(s): p for s, p in payloads.items()},
             "analytic_projection_from_S1_anchor": {

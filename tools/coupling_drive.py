@@ -1,0 +1,243 @@
+"""Coupling at production scale: does the VO seed pay on a turn-rich course?
+
+VERDICT r4 #6: the reference's Table-I shows coupled (C) beating decoupled
+(D) on 9/10 real sequences, but rounds 1-4 never reproduced a coupled win
+outside an 80-frame corridor toy — the synthetic drives are
+LO-warm-start-friendly (gentle snake, ~0.004 rad/frame yaw).  Real KITTI
+urban turns hit ~0.09 rad/frame at 10 Hz: at a turn ONSET the
+constant-motion warm start is wrong by the full per-frame turn rate, while
+the camera measures the actual rotation — that is the regime where the VO
+seed pays.
+
+This drive:
+  * routes an urban block course (synthetic.turns_trajectory: straights +
+    sharp 90-degree turns over ``turn_frames`` frames) through a world
+    built ALONG the route (boxes + poles lining both sides), with
+    camera blob texture for VO and optional SPARSE stretches (structure
+    thinned on some straights: mild LO degeneracy, not corridor collapse);
+  * runs BOTH modes over identical frames;
+  * records per-frame SEED TELEMETRY from the new VloamOutputs deltas:
+    rotation/translation error of the VO seed vs the warm start vs the
+    solved LO delta, split by turn/straight frames — whichever mode wins,
+    the telemetry says WHY.
+
+Writes VALIDATION_r05.json under "coupling_production_{C,D}" plus
+"coupling_seed_telemetry".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def route_world(poses, seed: int = 21, sparse_every: int = 3) -> np.ndarray:
+    """Boxes + poles lining both sides of an arbitrary route; every
+    ``sparse_every``-th straight block is thinned to ~1/4 density (mild
+    LO degeneracy — ground + sparse poles, not a corridor collapse)."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack([t for _, t in poses])
+    boxes = []
+    placed = 0.0
+    block = 0
+    d = np.diff(pts, axis=0)
+    seg = np.linalg.norm(d, axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    s = 0.0
+    while s < total:
+        i = int(np.searchsorted(cum, s, side="right")) - 1
+        i = min(i, len(d) - 1)
+        p = pts[i] + d[i] * ((s - cum[i]) / max(seg[i], 1e-9))
+        tang = d[i] / max(seg[i], 1e-9)
+        norm = np.array([-tang[1], tang[0], 0.0])
+        block = int(s // 78.0)       # ~one straight+turn period at speed 1.1
+        sparse = sparse_every and (block % sparse_every == sparse_every - 1)
+        for side in (+1.0, -1.0):
+            if sparse and rng.uniform() > 0.25:
+                continue
+            off = side * (14.0 + rng.uniform(-2.0, 2.0))
+            x, y = p[0] + norm[0] * off, p[1] + norm[1] * off
+            if rng.uniform() < 0.35:
+                boxes.append([x, y, -1.7, x + 0.3, y + 0.3, rng.uniform(2.5, 4.5)])
+            else:
+                w, dd = rng.uniform(3, 8), rng.uniform(3, 8)
+                boxes.append([x, y, -1.7, x + w, y + dd, -1.7 + rng.uniform(4, 14)])
+        s += 9.0
+    return np.array(boxes, np.float64)
+
+
+def gt_delta(R0, t0, R1, t1) -> np.ndarray:
+    """velo_last_T_velo_curr ground truth as (7,) [q|t]."""
+    import jax.numpy as jnp
+
+    from vloam_tpu import geometry as geo
+
+    Rrel = R0.T @ R1
+    trel = R0.T @ (t1 - t0)
+    q = np.asarray(geo.matrix_to_quat(jnp.array(Rrel, jnp.float32)), np.float64)
+    return np.concatenate([q, trel])
+
+
+def pose_err(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
+    """(rotation deg, translation m) between two (7,) poses."""
+    from vloam_tpu import geometry_np as gnp
+
+    d = gnp.pose_compose(gnp.pose_inverse(gnp.as_pose64(a)), gnp.as_pose64(b))
+    ang = 2.0 * np.arccos(np.clip(abs(d[3]), -1.0, 1.0))
+    return float(np.degrees(ang)), float(np.linalg.norm(d[4:]))
+
+
+def run_mode(cfg, poses, world, blobs_seed, n_azimuth, noise, couple):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.models import frame_graph as fg
+    from vloam_tpu.runtime.driver import VloamDriver
+
+    cfg = cfg.replace(detach_vo_lo=not couple)
+    ext = fg.kitti_default_extrinsics()
+    driver = VloamDriver(cfg, ext)
+    K = np.asarray(ext.P_rect0)[:, :3].astype(np.float64)
+    centers = (world[:, :3] + world[:, 3:]) / 2.0
+
+    rng = np.random.default_rng(blobs_seed)
+    blob_world = np.zeros((0, 3))
+    vc = cfg.visual
+    tele = []
+    mo = []
+    prev_lo = None
+    t0 = time.perf_counter()
+    for i, (R, t) in enumerate(poses):
+        R_wc = R @ synthetic.CAM_R_WORLD.T
+        if i % 8 == 0:
+            uv = np.stack([rng.uniform(20, vc.img_width - 20, 700),
+                           rng.uniform(20, vc.img_height - 20, 700)], -1)
+            pc, hit = synthetic.raycast_camera(R_wc, t, world, K, uv)
+            blob_world = np.concatenate([blob_world, (pc[hit] @ R_wc.T) + t])
+        near = np.linalg.norm(centers[:, :2] - t[:2], axis=1) < 110.0
+        cloud = synthetic.simulate_scan(R, t, world[near], n_azimuth=n_azimuth,
+                                        noise=noise, seed=i)
+        vis = blob_world[np.linalg.norm(blob_world - t, axis=1) < 90.0]
+        img = synthetic.render_blob_image((vis - t) @ R_wc, K,
+                                          vc.img_height, vc.img_width)
+        out = driver.process(img, cloud)
+        mo.append(driver._w_mo64.copy())
+        if i > 0:
+            gtd = gt_delta(*poses[i - 1], *poses[i])
+            vo_d = np.asarray(out.vo_delta)
+            lo_d = np.asarray(out.lo_delta)
+            row = {
+                "frame": i,
+                "vo_seed": pose_err(gtd, vo_d),
+                "warm": pose_err(gtd, prev_lo) if prev_lo is not None else None,
+                "lo_final": pose_err(gtd, lo_d),
+                "gt_yaw_deg": pose_err(np.array([0, 0, 0, 1, 0, 0, 0.0]), gtd)[0],
+            }
+            tele.append(row)
+        prev_lo = np.asarray(out.lo_delta)
+        if i % 50 == 0:
+            print(f"  [{'C' if couple else 'D'}] frame {i} "
+                  f"({time.perf_counter() - t0:.0f} s)", flush=True)
+    return np.stack(mo), tele
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=400)
+    ap.add_argument("--speed", type=float, default=1.1)
+    ap.add_argument("--straight", type=int, default=60)
+    ap.add_argument("--turn-frames", type=int, default=12)
+    ap.add_argument("--noise", type=float, default=0.01)
+    ap.add_argument("--n-azimuth", type=int, default=900)
+    ap.add_argument("--sparse-every", type=int, default=3)
+    ap.add_argument("--out", default="VALIDATION_r05.json")
+    args = ap.parse_args()
+
+    from vloam_tpu.config import kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.utils import kitti_eval
+
+    poses = synthetic.turns_trajectory(
+        args.frames, speed=args.speed, straight=args.straight,
+        turn_frames=args.turn_frames,
+    )
+    world = route_world(poses, sparse_every=args.sparse_every)
+    gt = np.stack([t for _, t in poses])
+    gt34 = np.stack([np.concatenate([R, t[:, None]], 1) for R, t in poses])
+    cfg = kitti_hdl64()
+
+    results = {}
+    tele_summary = {}
+    for couple in (False, True):
+        mode = "coupled_C" if couple else "decoupled_D"
+        mo, tele = run_mode(cfg, poses, world, 11, args.n_azimuth, args.noise, couple)
+        import jax
+        import jax.numpy as jnp
+
+        from vloam_tpu import geometry as geo
+
+        est = np.asarray(jax.vmap(geo.pose_to_matrix)(jnp.array(mo, jnp.float32)))[:, :3, :4]
+        ev = kitti_eval.evaluate(gt34, est)
+        period = args.straight + args.turn_frames
+        turn = [r for r in tele if r["frame"] % period >= args.straight]
+        straight = [r for r in tele if r["frame"] % period < args.straight]
+
+        def agg(rows, key):
+            vals = [r[key] for r in rows if r[key] is not None]
+            if not vals:
+                return None
+            rot = float(np.median([v[0] for v in vals]))
+            tr = float(np.median([v[1] for v in vals]))
+            return [round(rot, 4), round(tr, 4)]
+
+        tele_summary[mode] = {
+            "turn_frames": {k: agg(turn, k) for k in ("vo_seed", "warm", "lo_final")},
+            "straight_frames": {k: agg(straight, k) for k in ("vo_seed", "warm", "lo_final")},
+            "median_turn_yaw_deg_per_frame": round(
+                float(np.median([r["gt_yaw_deg"] for r in turn])), 2) if turn else None,
+        }
+        results[mode] = {
+            "mode": mode,
+            "frames": args.frames,
+            "path_len_m": round(float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1))), 1),
+            "mo_trans_pct": round(ev["trans_pct"], 4),
+            "mo_rot_deg_per_m": round(ev["rot_deg_per_m"], 5),
+            "segments": ev["segments"],
+            "ate_m": round(float(np.mean(np.linalg.norm(mo[:, 4:] - gt, axis=1))), 4),
+            "final_err_m": round(float(np.linalg.norm(mo[-1, 4:] - gt[-1])), 4),
+        }
+        print(mode, json.dumps(results[mode]))
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            args.out)
+    record = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            record = json.load(f)
+    note = (
+        "urban-turn course (90-degree turns over "
+        f"{args.turn_frames} frames = ~{90.0 / args.turn_frames:.1f} deg/frame, "
+        "the real-KITTI turn regime) with thinned-structure straights; "
+        "seed telemetry medians are (rot deg, trans m) error vs ground-truth "
+        "per-frame motion"
+    )
+    for mode, r in results.items():
+        record[f"coupling_production_{mode}"] = r
+    record["coupling_seed_telemetry"] = {"note": note, **tele_summary}
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(tele_summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,40 @@ def snake_trajectory(
     return poses
 
 
+def turns_trajectory(
+    n_frames: int,
+    speed: float = 1.0,
+    straight: int = 60,
+    turn_frames: int = 12,
+    turn_angle: float = np.pi / 2,
+    alternate: bool = True,
+):
+    """Urban block route: straights joined by sharp 90-degree turns.
+
+    Real KITTI urban turns reach ~0.9 rad/s = ~0.09 rad/frame at 10 Hz —
+    20x the gentle snake course — and the turn ONSET is exactly where a
+    constant-motion warm start is most wrong and a measured VO seed pays
+    (the Table-I coupled-vs-decoupled regime, BASELINE.md).  ``alternate``
+    flips turn direction so the route stays compact (S-blocks) instead of
+    spiralling."""
+    poses = []
+    yaw = 0.0
+    t = np.zeros(3)
+    period = straight + turn_frames
+    sign = 1.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        poses.append((R.copy(), t.copy()))
+        t = t + R @ np.array([speed, 0.0, 0.0])
+        phase = i % period
+        if phase >= straight:
+            yaw += sign * turn_angle / turn_frames
+            if alternate and phase == period - 1:
+                sign = -sign
+    return poses
+
+
 def scatter_texture_points(n: int = 800, seed: int = 7) -> np.ndarray:
     """World-frame 3D texture points for camera simulation (on a rough street
     corridor in front of the origin, depths 5-60 m)."""

@@ -81,8 +81,15 @@ def voxel_downsample(
         [jnp.ones((1,), bool), (key_s[1:] != key_s[:-1]) | (grp_s[1:] != grp_s[:-1])]
     )
     new_seg = new_seg & msk_s
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1          # (N,) — -1..S-1; invalid tail shares last id
-    seg_id = jnp.where(msk_s, seg_id, n - 1)                     # dump invalid into a scrap segment
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1          # (N,) — -1..S-1
+    # Invalid rows KEEP the running id (their contribution is zeroed below),
+    # clamped at 0 for any leading invalid prefix.  They must NOT be dumped
+    # into a scrap segment: that made seg_id non-monotone wherever invalid
+    # rows interleave valid runs (ring-grid padding), and segment_sum below
+    # declares indices_are_sorted=True — TPU's sorted-scatter lowering then
+    # silently misreduced, zeroing most less-flat centroids (CPU ignores the
+    # hint, which hid the bug from the unit suite).
+    seg_id = jnp.maximum(seg_id, 0)
 
     # seg_id is monotone non-decreasing by construction — the sorted-indices
     # lowering of segment_sum is ~35% faster than the general scatter-add.

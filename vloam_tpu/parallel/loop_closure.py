@@ -23,6 +23,7 @@ means the overlap was spurious).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -107,8 +108,10 @@ def coarse_align(
                                # the detected pair's TRUE offset can approach
                                # the drift magnitude when drift points along
                                # the course tangent)
+    top_k: int = 1,
 ) -> jnp.ndarray:
-    """Scan-context-style SE(2) coarse alignment: (7,) pose j_T_k.
+    """Scan-context-style SE(2) coarse alignment: (7,) pose j_T_k, or
+    (top_k, 7) candidate poses when ``top_k > 1``.
 
     Scan-to-scan GN registration (solve_f2f) has an association basin of a
     few metres; after multi-km drift the chain's relative estimate can be
@@ -116,11 +119,18 @@ def coarse_align(
     (the reference has no loop closure at all).  This is a JOINT dense
     search over SE(2): for every yaw bin, rotate k's feature cloud,
     rasterize both clouds into coarse 2D occupancy grids (clipped counts),
-    cross-correlate over +-``search`` cells, and take the globally best
-    (yaw, shift) — one vmapped batch of ``n_yaw`` small correlations
-    (~200 MFLOP; a yaw-signature pre-prune was tried and is NOT
-    translation-invariant enough at 15+ m offsets).  The z-offset comes
-    from the occupancy-weighted mean heights.
+    cross-correlate over +-``search`` cells, and take the best (yaw, shift)
+    cells — one vmapped batch of ``n_yaw`` small correlations (~200 MFLOP;
+    a yaw-signature pre-prune was tried and is NOT translation-invariant
+    enough at 15+ m offsets).  The z-offset comes from the occupancy-
+    weighted mean heights.
+
+    In self-similar worlds (periodic structure along a road or ring) the
+    correlation ALIASES: the global peak can sit tens of metres off while
+    the true offset is a secondary peak (measured: 25-78 m errors on the
+    ring-course drive).  ``top_k > 1`` returns the best ``top_k`` peaks —
+    the caller refines each and arbitrates with a TIGHT metric
+    (tight_inlier_frac), which the loose correspondence count cannot do.
 
     Resolution (cell/2 translation, pi/n_yaw yaw) lands well inside the GN
     re-association basin; solve_f2f refines from there.
@@ -129,7 +139,10 @@ def coarse_align(
         pts = jnp.concatenate([f.less_flat[:, :3], f.less_sharp[:, :3]])
         msk = jnp.concatenate([f.less_flat_mask, f.less_sharp_mask])
         r = jnp.linalg.norm(pts[:, :2], axis=1)
-        return pts, msk & (r > 3.0) & (r < half)
+        # STRUCTURE only: ground points (z ~ -1.7 under the sensor) occupy
+        # every in-range cell and correlate equally at any in-plane shift —
+        # they wash out the alignment signal instead of carrying it
+        return pts, msk & (r > 3.0) & (r < half) & (pts[:, 2] > -1.0)
 
     pj, mj = cloud(feats_j)
     pk, mk = cloud(feats_k)
@@ -146,33 +159,92 @@ def coarse_align(
     pad = jnp.pad(gj, search)[None, None]
     yaws = 2 * jnp.pi * jnp.arange(n_yaw, dtype=jnp.float32) / n_yaw
 
-    def score_at(yaw):
+    def score_full(yaw):
+        # win[u, v] = sum_xy gk[x, y] * gj[x + u - search, y + v - search]
         cy, sy = jnp.cos(yaw), jnp.sin(yaw)
         rot = jnp.stack(
             [cy * pk[:, 0] - sy * pk[:, 1], sy * pk[:, 0] + cy * pk[:, 1], pk[:, 2]], -1
         )
         gk = occ(rot, mk)
-        # win[u, v] = sum_xy gk[x, y] * gj[x + u - search, y + v - search]
-        win = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             pad, gk[None, None], (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]                          # (2*search+1, 2*search+1)
-        return jnp.max(win), jnp.argmax(win)
+        )[0, 0].reshape(-1)                  # (w*w,)
 
-    scores, flat_uv = jax.vmap(score_at)(yaws)
-    s = jnp.argmax(scores)
-    dyaw = yaws[s]
-    w = 2 * search + 1
-    uv = flat_uv[s]
-    dx = ((uv // w).astype(jnp.float32) - search) * cell
-    dy = ((uv % w).astype(jnp.float32) - search) * cell
-
+    win_flat = jax.vmap(score_full)(yaws)    # (n_yaw, w*w)
     wz_j = jnp.sum(jnp.where(mj, pj[:, 2], 0.0)) / jnp.maximum(jnp.sum(mj), 1)
     wz_k = jnp.sum(jnp.where(mk, pk[:, 2], 0.0)) / jnp.maximum(jnp.sum(mk), 1)
+    w = 2 * search + 1
 
-    quat = geo.angle_axis_to_quat(jnp.stack([0.0 * dyaw, 0.0 * dyaw, dyaw]))
-    t = jnp.stack([dx, dy, wz_j - wz_k])
-    return geo.pose_from_qt(quat, t)
+    def pose_of(flat_idx):
+        dyaw = yaws[flat_idx // (w * w)]
+        uv = flat_idx % (w * w)
+        dx = ((uv // w).astype(jnp.float32) - search) * cell
+        dy = ((uv % w).astype(jnp.float32) - search) * cell
+        quat = geo.angle_axis_to_quat(jnp.stack([0.0 * dyaw, 0.0 * dyaw, dyaw]))
+        return geo.pose_from_qt(quat, jnp.stack([dx, dy, wz_j - wz_k]))
+
+    if top_k == 1:
+        return pose_of(jnp.argmax(win_flat.reshape(-1)))
+    # peak picking with suppression: after taking a peak, zero its (yaw,
+    # shift) neighbourhood so the top_k are distinct basins, not the same
+    # peak's shoulder sampled top_k times
+    flat = win_flat.reshape(-1)
+    n_cells = w * w
+    ys = jnp.arange(n_yaw)
+    us = jnp.arange(w)
+    idxs = []
+    for _ in range(top_k):
+        best = jnp.argmax(flat)
+        idxs.append(best)
+        by, buv = best // n_cells, best % n_cells
+        bu, bv = buv // w, buv % w
+        # suppress +-4 yaw bins (circular) x +-2 cells around the peak
+        dy_c = jnp.abs(ys - by)
+        sup = (
+            (jnp.minimum(dy_c, n_yaw - dy_c) <= 4)[:, None, None]
+            & (jnp.abs(us - bu) <= 2)[None, :, None]
+            & (jnp.abs(us - bv) <= 2)[None, None, :]
+        )
+        flat = jnp.where(sup.reshape(-1), -jnp.inf, flat)
+    return jnp.stack([pose_of(i) for i in idxs])
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "sample"))
+def tight_inlier_frac(
+    feats_j: ScanFeatures,
+    feats_k: ScanFeatures,
+    pose: jnp.ndarray,         # (7,) candidate j_T_k
+    thresh: float = 0.5,
+    sample: int = 2048,
+) -> jnp.ndarray:
+    """Fraction of (subsampled) k-points whose nearest j-point after
+    transforming by ``pose`` lies within ``thresh`` metres.
+
+    This is the registration-quality ARBITER: solve_f2f's correspondence
+    count uses the LOAM association gate (5 m) and therefore scores
+    aliased alignments in self-similar worlds almost as high as the true
+    one (measured on the ring drive: a 78 m-wrong pose scored 226 "corr"
+    vs 95 for the truth).  At a 0.5 m gate only the true alignment keeps
+    its inliers.  Scored over STRUCTURE only (z above ground): ground is
+    planar and matches itself at any in-plane shift, so including it makes
+    every candidate score alike.  Brute-force NN over a strided subsample
+    — ~100 MFLOP, one jit."""
+    def structure(f):
+        pts = jnp.concatenate([f.less_flat[:, :3], f.less_sharp[:, :3]])
+        msk = jnp.concatenate([f.less_flat_mask, f.less_sharp_mask])
+        return pts, msk & (pts[:, 2] > -1.0)
+
+    pk, mk = structure(feats_k)
+    pj, mj = structure(feats_j)
+    stride = max(pk.shape[0] // sample, 1)
+    q = geo.pose_apply(pose, pk[::stride])
+    qm = mk[::stride]
+    d2 = jnp.sum((q[:, None, :] - pj[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(mj[None, :], d2, jnp.inf)
+    nn = jnp.min(d2, axis=1)
+    hits = jnp.sum(qm & (nn < thresh * thresh))
+    return hits / jnp.maximum(jnp.sum(qm), 1)
 
 
 def register_loop(
@@ -180,54 +252,53 @@ def register_loop(
     feats_k: ScanFeatures,
     rel_init: jnp.ndarray,     # (7,) current estimate of j_T_k (from the chains)
     cfg: VloamConfig,
-    radius: float = 5.0,
-    min_corr: int = 150,
     outer_iters: int = 5,
     use_coarse: bool = True,
+    coarse_top_k: int = 6,
+    min_inlier_frac: float = 0.3,
 ) -> tuple[np.ndarray, int, bool]:
     """Scan-to-scan registration of keyframe k against keyframe j.
 
-    Returns (z_jk (7,) j_T_k, total correspondences, accepted).  Uses more
+    Returns (z_jk (7,) j_T_k, tight-inlier count, accepted).  Uses more
     outer association/solve rounds than the frame-to-frame default because
-    the initial error after drift is metres, not centimetres.  With
-    ``use_coarse`` the chain seed competes against the coarse_align seed
-    and the refinement with more correspondences wins — after long drift
-    the chain seed is outside the GN basin and the coarse seed is the one
-    that converges (tools/loop_drive.py demonstrates this at ~2 km scale).
+    the initial error after drift is metres, not centimetres.
+
+    Candidate seeds: the chain estimate plus the best ``coarse_top_k``
+    SE(2) correlation peaks (coarse_align — in self-similar worlds the
+    global peak aliases, so several basins must be tried).  Every candidate
+    is refined and ARBITRATED BY tight_inlier_frac, not by the loose
+    correspondence count (r04's count arbitration picked 25-78 m-wrong
+    poses on the ring drive and bent the interior, VALIDATION_r04
+    loop_drive_excl).  Acceptance = best tight fraction >= min_inlier_frac
+    and a finite pose; the returned count is the tight-inlier count (the
+    driver's evidence weighting uses it).
     """
     loop_cfg = dataclasses.replace(
         cfg, odom=dataclasses.replace(cfg.odom, outer_iters=outer_iters, distortion=False)
     )
 
     def refine(seed):
-        pose, counts = solve_f2f(
+        pose, _ = solve_f2f(
             feats_k,
             feats_j.less_sharp, feats_j.less_sharp_mask,
             feats_j.less_flat, feats_j.less_flat_mask,
             jnp.asarray(seed, jnp.float32), loop_cfg,
         )
-        return pose, int(np.asarray(counts).sum())
+        return pose
 
-    pose, n_corr = refine(rel_init)
-    seed, bound = jnp.asarray(rel_init, jnp.float32), 2.0 * radius
+    seeds = [jnp.asarray(rel_init, jnp.float32)]
     if use_coarse:
-        coarse = coarse_align(feats_j, feats_k)
-        pose_c, n_c = refine(coarse)
-        if n_c > n_corr:
-            pose, n_corr = pose_c, n_c
-            # the coarse seed is trusted to its own resolution, not the
-            # drift gate: correction bounded by a few cells
-            seed, bound = coarse, 14.0
-    z = np.asarray(pose)
-    correction = np.asarray(
-        geo.pose_compose(geo.pose_inverse(seed), pose)
-    )
-    accepted = (
-        n_corr >= min_corr
-        and bool(np.all(np.isfinite(z)))
-        and float(np.linalg.norm(correction[4:])) < bound
-    )
-    return z, n_corr, accepted
+        seeds.extend(coarse_align(feats_j, feats_k, top_k=coarse_top_k))
+    best_pose, best_frac = None, -1.0
+    for seed in seeds:
+        pose = refine(seed)
+        frac = float(tight_inlier_frac(feats_j, feats_k, pose))
+        if frac > best_frac:
+            best_pose, best_frac = pose, frac
+    z = np.asarray(best_pose)
+    n_tight = int(best_frac * 2048)
+    accepted = best_frac >= min_inlier_frac and bool(np.all(np.isfinite(z)))
+    return z, n_tight, accepted
 
 
 def loop_factors(

@@ -134,13 +134,20 @@ def sharded_mapping_step(
     pose_wodom,
     cfg: VloamConfig,
     axis: str = "map",
+    ablate_merge: bool = False,
 ):
     """SPMD twin of mapping_step; call inside shard_map with MapState cube
     arrays AND submap-cache arrays partitioned on axis 0, poses replicated.
 
     Mirrors models/laser_mapping.mapping_step stage for stage (semantics:
     laser_mapping.cpp:212-814); the only structural additions are the
-    shard-local window slice and the butterfly top-k merge."""
+    shard-local window slice and the butterfly top-k merge.
+
+    ``ablate_merge=True`` replaces the cross-shard top-k merge with the
+    shard-local candidates — numerically WRONG (each shard associates only
+    against its own cubes) but byte-identical compute otherwise, so
+    (normal - ablated) step time isolates the collective's wall-clock share
+    (tools/bench_scaling.py --ablate-merge; VERDICT r4 #7)."""
     mc = cfg.mapping
     pose0 = geo.pose_compose(state.wmap_wodom, pose_wodom)
 
@@ -216,10 +223,14 @@ def sharded_mapping_step(
             )
             nbr_c_l = jnp.take(c_pts[:, :3], idxc, axis=0)           # (M, k, 3)
             nbr_s_l = jnp.take(s_pts[:, :3], idxs, axis=0)
-            nbr_c, d2c = _merge_topk(
-                jnp.concatenate([nbr_c_l, d2c_l[..., None]], axis=-1), k, axis)
-            nbr_s, d2s = _merge_topk(
-                jnp.concatenate([nbr_s_l, d2s_l[..., None]], axis=-1), k, axis)
+            if ablate_merge:
+                nbr_c, d2c = nbr_c_l, d2c_l
+                nbr_s, d2s = nbr_s_l, d2s_l
+            else:
+                nbr_c, d2c = _merge_topk(
+                    jnp.concatenate([nbr_c_l, d2c_l[..., None]], axis=-1), k, axis)
+                nbr_s, d2s = _merge_topk(
+                    jnp.concatenate([nbr_s_l, d2s_l[..., None]], axis=-1), k, axis)
             p_e, a_e, b_e, v_e = fit_corner_lines(corner_stack, cs_mask, nbr_c, d2c, cfg)
             p_s, n_s, d_s, v_s = fit_surf_planes(surf_stack, ss_mask, nbr_s, d2s, cfg)
 
@@ -310,17 +321,21 @@ def map_state_specs(axis: str = "map") -> MapState:
     )
 
 
-def make_sharded_step(cfg: VloamConfig, mesh: Mesh, axis: str = "map"):
+def make_sharded_step(cfg: VloamConfig, mesh: Mesh, axis: str = "map",
+                      ablate_merge: bool = False):
     """jit-compiled shard_map wrapper: (MapState, corner, cmask, surf, smask,
     pose) -> (MapState, pose_w) with cube + cache arrays partitioned over
-    ``axis`` (state from ``init_map_state(cfg, n_shards=S)``)."""
+    ``axis`` (state from ``init_map_state(cfg, n_shards=S)``).
+    ``ablate_merge`` builds the collective-free twin for isolation timing
+    (see sharded_mapping_step)."""
     rep = P()
     state_specs = map_state_specs(axis)
 
     @jax.jit
     def step(state, corner_in, cmask, surf_in, smask, pose_wodom):
         f = jax.shard_map(
-            lambda st, ci, cm, si, sm, pw: sharded_mapping_step(st, ci, cm, si, sm, pw, cfg, axis),
+            lambda st, ci, cm, si, sm, pw: sharded_mapping_step(
+                st, ci, cm, si, sm, pw, cfg, axis, ablate_merge=ablate_merge),
             mesh=mesh,
             in_specs=(state_specs, rep, rep, rep, rep, rep),
             out_specs=(state_specs, rep),

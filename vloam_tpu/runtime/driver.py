@@ -365,8 +365,7 @@ class VloamDriver:
         loops (loop_closure.effective_radius)."""
         from vloam_tpu.ops.scan_registration import extract_features_from_grid
         from vloam_tpu.parallel.loop_closure import (
-            detect_revisits, effective_radius, loop_factors, path_cumlen,
-            register_loop,
+            detect_revisits, loop_factors, path_cumlen, register_loop,
         )
 
         kf_ids = sorted(self._keyframes)
@@ -404,23 +403,21 @@ class VloamDriver:
                 geo.pose_inverse(jnp.array(mo[fj], jnp.float32)),
                 jnp.array(mo[fk], jnp.float32),
             )
-            z, n_corr, ok = register_loop(
+            z, n_tight, ok = register_loop(
                 feats_of(fj), feats_of(fk), rel_init, self.cfg,
-                radius=effective_radius(
-                    cum, jk, kk, self.loop_radius, self.loop_drift_rate
-                ),
             )
             if self.cfg.verbose_level >= 1:
-                print(f"[loop] frames ({fj},{fk}): corr={n_corr} accepted={ok}")
+                print(f"[loop] frames ({fj},{fk}): tight_inliers={n_tight} "
+                      f"accepted={ok}")
             if ok:
                 accepted_pairs.append((fj, fk))
                 zs.append(z)
-                corrs.append(n_corr)
+                corrs.append(n_tight)
         if not accepted_pairs:
             return None
         # evidence weighting: information scales with the registration's
-        # correspondence count (residual weight enters JtJ squared, hence
-        # sqrt); normalised so a 600-corr registration keeps the old 5.0
+        # tight-inlier count (residual weight enters JtJ squared, hence
+        # sqrt); normalised so a 600-inlier registration keeps the old 5.0
         w = 5.0 * np.sqrt(np.asarray(corrs, np.float64) / 600.0)
         return loop_factors(accepted_pairs, zs, weight=w)
 
