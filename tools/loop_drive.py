@@ -142,6 +142,11 @@ def main() -> None:
     if refined is not None:
         ref_ate = float(np.mean(np.linalg.norm(refined[:, 4:] - gt, axis=1)))
         ref_final = float(np.linalg.norm(refined[-1, 4:] - gt[-1]))
+    unguarded = driver._refined_unguarded
+    unguarded_ate = (
+        round(float(np.mean(np.linalg.norm(unguarded[:, 4:] - gt, axis=1))), 3)
+        if unguarded is not None else None
+    )
 
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     result = {
@@ -160,6 +165,7 @@ def main() -> None:
         "raw_final_err_m": round(raw_final, 3),
         "refined_ate_m": round(ref_ate, 3) if ref_ate is not None else None,
         "refined_final_err_m": round(ref_final, 3) if ref_final is not None else None,
+        "unguarded_refined_ate_m": unguarded_ate,
         "drive_s": round(t_close - t0, 1),
         "close_s": round(time.perf_counter() - t_close, 1),
         "note": (

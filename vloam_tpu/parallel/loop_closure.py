@@ -98,6 +98,9 @@ def detect_revisits(
     return pairs
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_yaw", "cell", "half", "search", "top_k")
+)
 def coarse_align(
     feats_j: ScanFeatures,
     feats_k: ScanFeatures,
@@ -277,28 +280,35 @@ def register_loop(
         cfg, odom=dataclasses.replace(cfg.odom, outer_iters=outer_iters, distortion=False)
     )
 
-    def refine(seed):
+    seeds = [jnp.asarray(rel_init, jnp.float32)]
+    if use_coarse:
+        seeds.extend(coarse_align(feats_j, feats_k, top_k=coarse_top_k))
+    # ALL candidates refine and score in one vmapped dispatch (the per-seed
+    # loop was ~7 sequential device round-trips per loop pair)
+    poses, fracs = _refine_and_score_batch(
+        feats_j, feats_k, jnp.stack(seeds), loop_cfg
+    )
+    best = int(np.argmax(np.asarray(fracs)))
+    z = np.asarray(poses[best])
+    best_frac = float(fracs[best])
+    n_tight = int(best_frac * 2048)
+    accepted = best_frac >= min_inlier_frac and bool(np.all(np.isfinite(z)))
+    return z, n_tight, accepted
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _refine_and_score_batch(feats_j, feats_k, seeds, cfg):
+    """vmap of solve_f2f + tight_inlier_frac over candidate seeds."""
+    def one(seed):
         pose, _ = solve_f2f(
             feats_k,
             feats_j.less_sharp, feats_j.less_sharp_mask,
             feats_j.less_flat, feats_j.less_flat_mask,
-            jnp.asarray(seed, jnp.float32), loop_cfg,
+            seed, cfg,
         )
-        return pose
+        return pose, tight_inlier_frac(feats_j, feats_k, pose)
 
-    seeds = [jnp.asarray(rel_init, jnp.float32)]
-    if use_coarse:
-        seeds.extend(coarse_align(feats_j, feats_k, top_k=coarse_top_k))
-    best_pose, best_frac = None, -1.0
-    for seed in seeds:
-        pose = refine(seed)
-        frac = float(tight_inlier_frac(feats_j, feats_k, pose))
-        if frac > best_frac:
-            best_pose, best_frac = pose, frac
-    z = np.asarray(best_pose)
-    n_tight = int(best_frac * 2048)
-    accepted = best_frac >= min_inlier_frac and bool(np.all(np.isfinite(z)))
-    return z, n_tight, accepted
+    return jax.vmap(one)(seeds)
 
 
 def loop_factors(

@@ -113,6 +113,7 @@ class VloamDriver:
         self.loop_min_gap = loop_min_gap
         self._keyframes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.refine_report: dict = {}
+        self._refined_unguarded: np.ndarray | None = None
         if debug_dir:
             os.makedirs(debug_dir, exist_ok=True)
         # lidar frames arrive as host-built ring grids (data/gridding.py): the
@@ -527,6 +528,8 @@ class VloamDriver:
                             f"({held_raw:.2f} -> {held_ref:.2f} m); keeping the "
                             "raw chain"
                         )
+                    # keep the rejected solution for diagnostics/ablation
+                    self._refined_unguarded = refined
                     refined = np.asarray(mo, np.float32).copy()
 
         if self.out_dir is not None:
