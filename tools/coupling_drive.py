@@ -38,10 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def route_world(poses, seed: int = 21, sparse_every: int = 3) -> np.ndarray:
+def route_world(poses, seed: int = 21, sparse_every: int = 3,
+                sparse_keep: float = 0.25) -> np.ndarray:
     """Boxes + poles lining both sides of an arbitrary route; every
-    ``sparse_every``-th straight block is thinned to ~1/4 density (mild
-    LO degeneracy — ground + sparse poles, not a corridor collapse)."""
+    ``sparse_every``-th straight block is thinned to ``sparse_keep`` density
+    (mild LO degeneracy — ground + sparse poles, not a corridor collapse)."""
     rng = np.random.default_rng(seed)
     pts = np.stack([t for _, t in poses])
     boxes = []
@@ -61,7 +62,7 @@ def route_world(poses, seed: int = 21, sparse_every: int = 3) -> np.ndarray:
         block = int(s // 78.0)       # ~one straight+turn period at speed 1.1
         sparse = sparse_every and (block % sparse_every == sparse_every - 1)
         for side in (+1.0, -1.0):
-            if sparse and rng.uniform() > 0.25:
+            if sparse and rng.uniform() > sparse_keep:
                 continue
             off = side * (14.0 + rng.uniform(-2.0, 2.0))
             x, y = p[0] + norm[0] * off, p[1] + norm[1] * off
@@ -160,6 +161,8 @@ def main() -> None:
     ap.add_argument("--noise", type=float, default=0.01)
     ap.add_argument("--n-azimuth", type=int, default=900)
     ap.add_argument("--sparse-every", type=int, default=3)
+    ap.add_argument("--sparse-keep", type=float, default=0.25)
+    ap.add_argument("--tag", default="", help="suffix for the record keys")
     ap.add_argument("--out", default="VALIDATION_r05.json")
     args = ap.parse_args()
 
@@ -171,7 +174,8 @@ def main() -> None:
         args.frames, speed=args.speed, straight=args.straight,
         turn_frames=args.turn_frames,
     )
-    world = route_world(poses, sparse_every=args.sparse_every)
+    world = route_world(poses, sparse_every=args.sparse_every,
+                        sparse_keep=args.sparse_keep)
     gt = np.stack([t for _, t in poses])
     gt34 = np.stack([np.concatenate([R, t[:, None]], 1) for R, t in poses])
     cfg = kitti_hdl64()
@@ -231,9 +235,10 @@ def main() -> None:
         "seed telemetry medians are (rot deg, trans m) error vs ground-truth "
         "per-frame motion"
     )
+    tag = f"_{args.tag}" if args.tag else ""
     for mode, r in results.items():
-        record[f"coupling_production_{mode}"] = r
-    record["coupling_seed_telemetry"] = {"note": note, **tele_summary}
+        record[f"coupling_production_{mode}{tag}"] = r
+    record[f"coupling_seed_telemetry{tag}"] = {"note": note, **tele_summary}
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(tele_summary))
