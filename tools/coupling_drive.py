@@ -40,39 +40,10 @@ import numpy as np
 
 def route_world(poses, seed: int = 21, sparse_every: int = 3,
                 sparse_keep: float = 0.25) -> np.ndarray:
-    """Boxes + poles lining both sides of an arbitrary route; every
-    ``sparse_every``-th straight block is thinned to ``sparse_keep`` density
-    (mild LO degeneracy — ground + sparse poles, not a corridor collapse)."""
-    rng = np.random.default_rng(seed)
-    pts = np.stack([t for _, t in poses])
-    boxes = []
-    placed = 0.0
-    block = 0
-    d = np.diff(pts, axis=0)
-    seg = np.linalg.norm(d, axis=1)
-    cum = np.concatenate([[0.0], np.cumsum(seg)])
-    total = cum[-1]
-    s = 0.0
-    while s < total:
-        i = int(np.searchsorted(cum, s, side="right")) - 1
-        i = min(i, len(d) - 1)
-        p = pts[i] + d[i] * ((s - cum[i]) / max(seg[i], 1e-9))
-        tang = d[i] / max(seg[i], 1e-9)
-        norm = np.array([-tang[1], tang[0], 0.0])
-        block = int(s // 78.0)       # ~one straight+turn period at speed 1.1
-        sparse = sparse_every and (block % sparse_every == sparse_every - 1)
-        for side in (+1.0, -1.0):
-            if sparse and rng.uniform() > sparse_keep:
-                continue
-            off = side * (14.0 + rng.uniform(-2.0, 2.0))
-            x, y = p[0] + norm[0] * off, p[1] + norm[1] * off
-            if rng.uniform() < 0.35:
-                boxes.append([x, y, -1.7, x + 0.3, y + 0.3, rng.uniform(2.5, 4.5)])
-            else:
-                w, dd = rng.uniform(3, 8), rng.uniform(3, 8)
-                boxes.append([x, y, -1.7, x + w, y + dd, -1.7 + rng.uniform(4, 14)])
-        s += 9.0
-    return np.array(boxes, np.float64)
+    from vloam_tpu.data.scenarios import route_world as rw
+
+    return rw(poses, seed=seed, sparse_every=sparse_every,
+              sparse_keep=sparse_keep)
 
 
 def gt_delta(R0, t0, R1, t1) -> np.ndarray:
