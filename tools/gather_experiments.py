@@ -15,6 +15,29 @@ issue count or bytes.  This experiment times, at the roofline shapes:
 If B wins as predicted, the production kernel becomes: sort keypoints by
 row band outside the kernel, stream strips once each, compact per-keypoint
 windows from VMEM (ops/pallas_gather strip path).
+
+ROUND-5 RESULTS (v5e, all variants correct where checked):
+
+  A  shipped per-kp window kernel   0.84-1.11 ms
+  B  full-width strip sweep         0.59-0.61 ms (34 GB/s)
+  B5 whole-image contiguous DMA     65 GB/s
+  B6 conditional-narrow DMA         no change      -> bytes do not bind
+  B7 DMA-only / B8 compaction-only  ~0.67 each     -> neither dominates
+  B9 VMEM-resident image + roll     0.87-0.95 ms (needs pl.multiple_of
+                                    hints on the dynamic slice offsets)
+  B10 per-kp MXU one-hot extract    1.02 ms        -> small-matmul latency
+  grouped DMAs (2/4/8/16 kp per     all flat ~0.92 -> DMA COUNT does not
+  DMA over sorted corners)                            bind either
+
+None of the hypothesized resources (descriptor processing, bytes, DMA
+count, roll/select compute, output-tile padding) moved the number, because
+the harness itself is the number: an EMPTY jitted op times ~0.8 ms through
+the axon tunnel (per-dispatch overhead), and a lax.scan re-invoking a
+kernel in-graph pays the same ~0.8 ms per iteration.  The in-step device
+trace (tools/profile_trace.py) shows the shipped kernel at 0.301 ms inside
+the production step — round 4's 0.814 ms roofline entry was dispatch, and
+the "coalesce the DMAs" hypothesis this file was written to test is moot
+at these shapes.  Kept as the record of how that was established.
 """
 
 from __future__ import annotations
@@ -465,6 +488,175 @@ def main() -> None:
 
     ms_b8 = timeit(lambda: compact_only(imgs, meta)) * 1e3
     print(f"B8 compaction-only (1 DMA/block)     : {ms_b8:7.3f} ms")
+
+    # --- B9: whole images resident in VMEM, per-keypoint VMEM slice ---------
+    # Transport collapses to 2 contiguous image DMAs (~66us, B5); compaction
+    # reads its (P8, 256) band straight from the VMEM-resident image at
+    # 8/128-aligned dynamic offsets.
+    @functools.partial(jax.jit, static_argnames=())
+    def gather_vmem_resident(imgs_st, meta):
+        N2 = meta.shape[1]
+
+        def kernel(meta_ref, img_ref, out_ref):
+            i = pl.program_id(0)
+            for k in range(_B):
+                b = meta_ref[0, i * _B + k]
+                cx = meta_ref[1, i * _B + k]
+                cy = meta_ref[2, i * _B + k]
+                dy = jax.lax.rem(cy, 8)
+                cy8 = cy - dy
+                dx = jax.lax.rem(cx, 128)
+                cx128 = cx - dx
+                band = img_ref[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)]
+                rolled = pltpu.roll(band, -dx, 1)[:, :P]
+                sel = rolled[7:7 + P, :]
+                for r in range(6, -1, -1):
+                    sel = jnp.where(dy == r, rolled[r:r + P, :], sel)
+                out_ref[k] = sel
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N2 // _B,),
+            in_specs=[pl.BlockSpec(
+                (2, H_pad, W_pad), lambda i, m: (0, 0, 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((_B, P, P), lambda i, m: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N2, P, P), jnp.float32),
+            grid_spec=grid_spec,
+        )(meta, imgs_st)
+
+    try:
+        out9 = gather_vmem_resident(imgs, meta)
+        ok9 = np.allclose(np.asarray(out9[:N]), np.asarray(ref_a)) and \
+            np.allclose(np.asarray(out9[N:]), np.asarray(ref_b))
+        ms_b9 = timeit(lambda: gather_vmem_resident(imgs, meta)) * 1e3
+        print(f"B9 VMEM-resident image, roll/select  : {ms_b9:7.3f} ms  correct={ok9}")
+    except Exception as e:
+        print(f"B9 VMEM-resident image               : FAILED ({type(e).__name__}: {e})"[:200])
+
+    # --- B10: per-keypoint DMA + MXU one-hot lane extraction ----------------
+    # The 256-lane roll is VPU-bound (~B8); replace it with
+    # (P8, 256) @ one-hot(dx) (256, P) on the MXU, then the 8-way row select
+    # runs on the small (P, P) result.
+    @functools.partial(jax.jit, static_argnames=())
+    def gather_mxu(imgs_st, meta):
+        N2 = meta.shape[1]
+
+        def kernel(meta_ref, img_ref, out_ref, scratch, sem):
+            i = pl.program_id(0)
+
+            def addr(k):
+                b = meta_ref[0, i * _B + k]
+                cx = meta_ref[1, i * _B + k]
+                cy = meta_ref[2, i * _B + k]
+                dy = jax.lax.rem(cy, 8)
+                cy8 = pl.multiple_of(cy - dy, 8)
+                cx128 = pl.multiple_of((cx // 128) * 128, 128)
+                return b, dy, cx - cx128, cy8, cx128
+
+            for k in range(_B):
+                b, dy, dx, cy8, cx128 = addr(k)
+                pltpu.make_async_copy(
+                    img_ref.at[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)],
+                    scratch.at[k], sem.at[k],
+                ).start()
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (_LW, P), 0)
+            lane_j = jax.lax.broadcasted_iota(jnp.int32, (_LW, P), 1)
+            for k in range(_B):
+                b, dy, dx, cy8, cx128 = addr(k)
+                pltpu.make_async_copy(
+                    img_ref.at[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)],
+                    scratch.at[k], sem.at[k],
+                ).wait()
+                shift = (lane_c == lane_j + dx).astype(jnp.float32)  # (256, P)
+                rolled = jax.lax.dot_general(
+                    scratch[k], shift, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (P8, P)
+                sel = rolled[7:7 + P, :]
+                for r in range(6, -1, -1):
+                    sel = jnp.where(dy == r, rolled[r:r + P, :], sel)
+                out_ref[k] = sel
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N2 // _B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((_B, P, P), lambda i, m: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_B, P8, _LW), jnp.float32),
+                pltpu.SemaphoreType.DMA((_B,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N2, P, P), jnp.float32),
+            grid_spec=grid_spec,
+        )(meta, imgs_st)
+
+    try:
+        out10 = gather_mxu(imgs, meta)
+        ok10 = np.allclose(np.asarray(out10[:N]), np.asarray(ref_a)) and \
+            np.allclose(np.asarray(out10[N:]), np.asarray(ref_b))
+        ms_b10 = timeit(lambda: gather_mxu(imgs, meta)) * 1e3
+        print(f"B10 per-kp DMA + MXU lane extract    : {ms_b10:7.3f} ms  correct={ok10}")
+    except Exception as e:
+        print(f"B10 MXU lane extract                 : FAILED ({type(e).__name__}: {e})"[:200])
+
+    # --- B11: VMEM-resident image + MXU lane extraction (B9 x B10) ----------
+    @functools.partial(jax.jit, static_argnames=())
+    def gather_vmem_mxu(imgs_st, meta):
+        N2 = meta.shape[1]
+
+        def kernel(meta_ref, img_ref, out_ref):
+            i = pl.program_id(0)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (_LW, P), 0)
+            lane_j = jax.lax.broadcasted_iota(jnp.int32, (_LW, P), 1)
+            for k in range(_B):
+                b = meta_ref[0, i * _B + k]
+                cx = meta_ref[1, i * _B + k]
+                cy = meta_ref[2, i * _B + k]
+                dy = jax.lax.rem(cy, 8)
+                cy8 = cy - dy
+                dx = jax.lax.rem(cx, 128)
+                cx128 = cx - dx
+                band = img_ref[b, pl.ds(cy8, P8), pl.ds(cx128, _LW)]
+                shift = (lane_c == lane_j + dx).astype(jnp.float32)
+                rolled = jax.lax.dot_general(
+                    band, shift, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = rolled[7:7 + P, :]
+                for r in range(6, -1, -1):
+                    sel = jnp.where(dy == r, rolled[r:r + P, :], sel)
+                out_ref[k] = sel
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N2 // _B,),
+            in_specs=[pl.BlockSpec(
+                (2, H_pad, W_pad), lambda i, m: (0, 0, 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((_B, P, P), lambda i, m: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N2, P, P), jnp.float32),
+            grid_spec=grid_spec,
+        )(meta, imgs_st)
+
+    try:
+        out11 = gather_vmem_mxu(imgs, meta)
+        ok11 = np.allclose(np.asarray(out11[:N]), np.asarray(ref_a)) and \
+            np.allclose(np.asarray(out11[N:]), np.asarray(ref_b))
+        ms_b11 = timeit(lambda: gather_vmem_mxu(imgs, meta)) * 1e3
+        print(f"B11 VMEM-resident + MXU lane extract : {ms_b11:7.3f} ms  correct={ok11}")
+    except Exception as e:
+        print(f"B11 VMEM-resident + MXU              : FAILED ({type(e).__name__}: {e})"[:200])
 
     # --- C: XLA dynamic-slice fallback -------------------------------------
     from vloam_tpu.ops.image_ops import _slice_patches
