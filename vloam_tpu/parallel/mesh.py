@@ -38,6 +38,15 @@ def map_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
     ICI within a slice / DCN across hosts with no further changes."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if len(devs) < n:
+        raise RuntimeError(
+            f"map_mesh({n}) needs {n} devices but jax.devices() has "
+            f"{len(devs)} ({devs[0].platform}); for a virtual CPU mesh set "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_"
+            "device_count=N BEFORE importing jax (a site TPU plugin may pin "
+            "the platform — jax.config.update('jax_platforms', 'cpu') after "
+            "import overrides it; see tests/conftest.py)"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 
